@@ -1,0 +1,214 @@
+"""FASTA/FASTQ IO and the contig-header metadata codec.
+
+The reference's contig FASTA headers are the inter-stage ABI:
+``>seqN_lenL_covC_readR_maxKK`` written by printContig (common.h:313-345)
+and parsed back by findCoverageFromHeader (common.h:659-674) /
+getReadLength (common.h:686-704). This module reproduces those semantics
+exactly: cov is ``uint16(cov * ratio + 0.5)``, sequences wrap at
+OUTPUT_LINE_LENGTH=80 (common.cpp:30).
+
+Compressed input is handled with Python's gzip/bz2 modules instead of
+``popen("gzip -cd")`` subprocesses (reference: common.cpp:120-144).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import lzma
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from ..utils.constants import OUTPUT_LINE_LENGTH
+from ..utils.errors import FormatError
+
+# base <-> code tables (common.h:256-257: Char2Bin / Bin2Char)
+_CHAR2BIN = np.full(256, 4, dtype=np.uint8)
+for _c, _v in (("A", 0), ("C", 1), ("G", 2), ("T", 3),
+               ("a", 0), ("c", 1), ("g", 2), ("t", 3)):
+    _CHAR2BIN[ord(_c)] = _v
+_BIN2CHAR = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def open_maybe_compressed(path: str, mode: str = "rt"):
+    """Open plain / gzip / bzip2 / xz by magic-byte sniffing.
+
+    Replaces the reference's ``file -bL`` subprocess format check
+    (common.cpp:88-117).
+    """
+    with open(path, "rb") as f:
+        magic = f.read(6)
+    if magic[:2] == b"\x1f\x8b":
+        return gzip.open(path, mode)
+    if magic[:3] == b"BZh":
+        return bz2.open(path, mode)
+    if magic[:6] == b"\xfd7zXZ\x00":
+        return lzma.open(path, mode)
+    return open(path, mode)
+
+
+def sniff_format(path: str) -> str:
+    """Return 'fasta' or 'fastq' from the first non-blank character."""
+    with open_maybe_compressed(path) as f:
+        for line in f:
+            if line.strip():
+                c = line[0]
+                if c == ">":
+                    return "fasta"
+                if c == "@":
+                    return "fastq"
+                raise FormatError(f"{path}: not FASTA/FASTQ (first char {c!r})")
+    raise FormatError(f"{path}: empty input")
+
+
+def iter_fasta(path: str) -> Iterator[tuple[str, str]]:
+    """Yield (name, sequence) records from a (possibly compressed) FASTA."""
+    name = None
+    chunks: list[str] = []
+    with open_maybe_compressed(path) as f:
+        for line in f:
+            line = line.rstrip("\n\r")
+            if not line:
+                continue
+            if line[0] == ">":
+                if name is not None:
+                    yield name, "".join(chunks)
+                name = line[1:].split()[0] if len(line) > 1 else ""
+                chunks = []
+            else:
+                chunks.append(line)
+        if name is not None:
+            yield name, "".join(chunks)
+
+
+def iter_fastq(path: str) -> Iterator[tuple[str, str]]:
+    """Yield (name, sequence) records from a (possibly compressed) FASTQ."""
+    with open_maybe_compressed(path) as f:
+        while True:
+            h = f.readline()
+            if not h:
+                return
+            h = h.rstrip("\n\r")
+            if not h:
+                continue
+            if h[0] != "@":
+                raise FormatError(f"{path}: bad FASTQ header {h!r}")
+            seq = f.readline().rstrip("\n\r")
+            plus = f.readline()
+            qual = f.readline()
+            if not qual:
+                raise FormatError(f"{path}: truncated FASTQ record")
+            yield h[1:].split()[0] if len(h) > 1 else "", seq
+
+
+def iter_reads(path: str) -> Iterator[tuple[str, str]]:
+    """Yield records, auto-detecting FASTA vs FASTQ (seqlib.cpp loaders)."""
+    if sniff_format(path) == "fasta":
+        yield from iter_fasta(path)
+    else:
+        yield from iter_fastq(path)
+
+
+def seq_to_codes(seq: str) -> np.ndarray:
+    """ACGT(N) string -> uint8 codes 0..4 (common.h:256 Char2Bin)."""
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    return _CHAR2BIN[raw]
+
+
+def codes_to_seq(codes: np.ndarray) -> str:
+    """uint8 codes 0..4 -> ACGTN string (common.h:257 Bin2Char)."""
+    return _BIN2CHAR[np.minimum(codes, 4)].tobytes().decode("ascii")
+
+
+# ---------------------------------------------------------------------------
+# contig-header metadata codec (the inter-stage ABI)
+# ---------------------------------------------------------------------------
+
+def format_contig_header(prefix: str, index1: int, length: int, cov: float,
+                         coverage_ratio: float = 1.0,
+                         read_length: float | None = None,
+                         max_k: int | None = None) -> str:
+    """``>prefixN_lenL_covC[_readR][_maxKK]`` per printContig (common.h:334).
+
+    cov is clamped to uint16 after ``cov * ratio + 0.5`` rounding, matching
+    ``static_cast<unsigned short>(cov * coverageRatio + 0.5)``.
+    """
+    c = int(cov * coverage_ratio + 0.5) & 0xFFFF
+    s = f"{prefix}{index1}_len{length}_cov{c}"
+    if read_length is not None:
+        r = int(read_length) if float(read_length) == int(read_length) else read_length
+        s += f"_read{r}"
+    if max_k is not None:
+        s += f"_maxK{max_k}"
+    return s
+
+
+def find_value_from_header(name: str, key: str, default: int = 1) -> int:
+    """Digits following the first occurrence of `key` in the header.
+
+    Reproduces findCoverageFromHeader (common.h:659-674): returns `default`
+    (=1 for cov) when the key is absent.
+    """
+    pos = name.find(key)
+    if pos < 0:
+        return default
+    pos += len(key)
+    val = 0
+    seen = False
+    while pos < len(name) and name[pos].isdigit():
+        val = val * 10 + int(name[pos])
+        pos += 1
+        seen = True
+    return val if seen else default
+
+
+def parse_cov(name: str) -> int:
+    return find_value_from_header(name, "cov", 1)
+
+
+def parse_read_length(name: str) -> int:
+    """getReadLengthFromFastaHeader (common.h:686): '<=1' falls back to 100."""
+    v = find_value_from_header(name, "read", 1)
+    return v if v > 1 else 100
+
+
+def parse_max_k(name: str) -> int:
+    v = find_value_from_header(name, "maxK", 1)
+    return v if v > 1 else 100
+
+
+def write_fasta(path: str, records: Iterable[tuple[str, str]],
+                line_length: int = OUTPUT_LINE_LENGTH,
+                append: bool = False) -> int:
+    """Write (name, seq) records with 80-column wrapping (common.h:336-343)."""
+    n = 0
+    with open(path, "a" if append else "w") as out:
+        for name, seq in records:
+            out.write(f">{name}\n")
+            for i in range(0, len(seq), line_length):
+                out.write(seq[i:i + line_length])
+                out.write("\n")
+            if len(seq) == 0:
+                out.write("\n")
+            n += 1
+    return n
+
+
+def write_contigs(path: str, seqs: list[np.ndarray] | list[str],
+                  covs: Iterable[float], coverage_ratio: float,
+                  read_length: float, max_k: int,
+                  prefix: str = "seq", append: bool = False) -> int:
+    """printContig equivalent (common.h:313-345): skips cov==UINT16_MAX
+    (deleted) sequences and numbers survivors 1..N."""
+    def gen():
+        i = 0
+        for seq, cov in zip(seqs, covs):
+            if int(cov) == 0xFFFF:
+                continue
+            i += 1
+            s = seq if isinstance(seq, str) else codes_to_seq(seq)
+            yield format_contig_header(prefix, i, len(s), cov, coverage_ratio,
+                                       read_length, max_k), s
+    return write_fasta(path, gen(), append=append)

@@ -1,0 +1,132 @@
+"""Read batches: padded 2-bit arrays with N masks.
+
+Replaces the reference's SEQ records dealt round-robin into per-thread
+temporary files (common.h:401-485, seqlib.cpp:365-741). On TPU the natural
+layout is a dense ``(num_reads, max_len)`` uint8 code array (0..3 bases,
+4 = N / padding) plus a length vector — ready to feed vectorized k-mer
+extraction without any host-side re-parsing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from .fasta import iter_reads, seq_to_codes
+from ..utils.constants import BASE_N
+
+
+@dataclass
+class ReadBatch:
+    """A dense batch of reads.
+
+    codes:   (n, max_len) uint8, values 0..3 for ACGT, 4 for N or padding
+    lengths: (n,) int32 true read lengths
+    """
+
+    codes: np.ndarray
+    lengths: np.ndarray
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def max_len(self) -> int:
+        return int(self.codes.shape[1])
+
+    @property
+    def total_bases(self) -> int:
+        return int(self.lengths.sum())
+
+    def __len__(self) -> int:
+        return self.num_reads
+
+
+def pack_reads(seqs: Sequence[str | np.ndarray], max_len: int | None = None,
+               pad_multiple: int = 1) -> ReadBatch:
+    """Pack variable-length sequences into one padded code array."""
+    codes_list = [seq_to_codes(s) if isinstance(s, str) else np.asarray(s, np.uint8)
+                  for s in seqs]
+    lengths = np.array([len(c) for c in codes_list], dtype=np.int32)
+    if max_len is None:
+        max_len = int(lengths.max()) if len(lengths) else 0
+    if pad_multiple > 1:
+        max_len = -(-max_len // pad_multiple) * pad_multiple
+    out = np.full((len(codes_list), max_len), BASE_N, dtype=np.uint8)
+    for i, c in enumerate(codes_list):
+        out[i, : len(c)] = c[:max_len]
+    lengths = np.minimum(lengths, max_len)
+    return ReadBatch(out, lengths)
+
+
+def load_read_batches(paths: Iterable[str], batch_size: int = 1 << 16,
+                      max_len: int | None = None) -> Iterator[ReadBatch]:
+    """Stream reads from files as dense batches.
+
+    This is the data-loader half of the reference's ReadFasta*MT loaders
+    (seqlib.cpp:365-741); sharding across devices happens downstream via
+    jax.sharding, not via per-thread files.
+    """
+    buf: list[str] = []
+    for path in paths:
+        for _name, seq in iter_reads(path):
+            buf.append(seq)
+            if len(buf) >= batch_size:
+                yield pack_reads(buf, max_len=max_len)
+                buf = []
+    if buf:
+        yield pack_reads(buf, max_len=max_len)
+
+
+def load_paired_batches(fwd_path: str, rev_path: str | None,
+                        batch_size: int = 1 << 16,
+                        max_len: int | None = None) -> Iterator[tuple[ReadBatch, ReadBatch]]:
+    """Paired-end loader.
+
+    Supports the reference's two layouts (baseCommand.h:52-68): separate
+    -IP file pairs (fwd/rev files) and interleaved -ip files (rev_path None).
+    """
+    if rev_path is None:
+        it = iter_reads(fwd_path)
+        fwd_buf: list[str] = []
+        rev_buf: list[str] = []
+        while True:
+            try:
+                _n1, s1 = next(it)
+                _n2, s2 = next(it)
+            except StopIteration:
+                break
+            fwd_buf.append(s1)
+            rev_buf.append(s2)
+            if len(fwd_buf) >= batch_size:
+                yield pack_reads(fwd_buf, max_len), pack_reads(rev_buf, max_len)
+                fwd_buf, rev_buf = [], []
+        if fwd_buf:
+            yield pack_reads(fwd_buf, max_len), pack_reads(rev_buf, max_len)
+    else:
+        it1, it2 = iter_reads(fwd_path), iter_reads(rev_path)
+        fwd_buf, rev_buf = [], []
+        for (_n1, s1), (_n2, s2) in zip(it1, it2):
+            fwd_buf.append(s1)
+            rev_buf.append(s2)
+            if len(fwd_buf) >= batch_size:
+                yield pack_reads(fwd_buf, max_len), pack_reads(rev_buf, max_len)
+                fwd_buf, rev_buf = [], []
+        if fwd_buf:
+            yield pack_reads(fwd_buf, max_len), pack_reads(rev_buf, max_len)
+
+
+def revcomp_codes(codes: np.ndarray, lengths: np.ndarray | None = None) -> np.ndarray:
+    """Reverse-complement padded code rows in place of their true lengths."""
+    if lengths is None:
+        comp = np.where(codes < 4, 3 - codes, codes)
+        return comp[..., ::-1]
+    out = np.full_like(codes, BASE_N)
+    for i, L in enumerate(np.asarray(lengths)):
+        L = int(L)
+        seg = codes[i, :L]
+        out[i, :L] = np.where(seg < 4, 3 - seg, seg)[::-1]
+    return out

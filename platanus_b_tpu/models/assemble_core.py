@@ -1,0 +1,554 @@
+"""The `assemble` pipeline: reads -> contigs via iterative k extension.
+
+Re-design of Assemble::exec (assemble.cpp:140-265) and its helpers:
+- initial counting + cutoff            <- initialKmerAssemble (assemble.cpp:303-386)
+- Poisson k-extension schedule         <- extendKmer (assemble.cpp:657-736)
+- per-step contig re-k-merization      <- saveContig (graph.h:1655-1771)
+- edge-k-mer read filtering            <- saveEdgeKmer + pickupReadMatchedEdgeKmer
+                                          (graph.h:1877-1939, counter.h:870-910)
+- re-counting with contig priors       <- makeKmerReadDistributionConsideringPreviousGraph
+                                          (counter.h:663-750)
+- final cleanup + output               <- outputAndAfterTreatment (assemble.cpp:506-622)
+
+All heavy stages run on device as sort/segment-reduce/lookup bulk ops;
+the orchestration that the reference spreads over temporary files is plain
+Python over in-memory arrays.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.reads import ReadBatch
+from ..ops import count as cnt
+from ..ops.kmer import extract_canonical_kmers
+from ..ops.multiword import num_words
+from ..ops.search import lookup
+from ..utils.log import LOG
+from . import clean
+from .dbg import DBG
+
+
+@dataclass
+class KmerTable:
+    """Sorted unique canonical k-mers + occurrence values (host handles)."""
+
+    k: int
+    keys: np.ndarray    # (N, W) uint32 sorted
+    counts: np.ndarray  # (N,) uint32
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+
+def _pad_codes(codes: np.ndarray) -> jnp.ndarray:
+    """Bucket a read batch to (pow2 rows, mult-of-32 cols) so the counting
+    kernels compile once per bucket; padding rows/cols are all-N."""
+    from ..ops.padding import next_pow2
+    r, l = codes.shape
+    r2 = next_pow2(r, minimum=256)
+    l2 = -(-l // 32) * 32
+    out = np.full((r2, l2), 4, dtype=np.uint8)
+    out[:r, :l] = codes
+    return jnp.asarray(out)
+
+
+def count_reads(batches: list[ReadBatch], k: int) -> tuple[KmerTable, np.ndarray]:
+    """Count canonical k-mers over all read batches.
+
+    Returns (table, histogram). A streaming on-device merge (sorted tables
+    sliced to power-of-two capacities between rounds) replaces the
+    reference's out-of-core spill passes (counter.h:341-364).
+    """
+    from ..ops.padding import next_pow2
+    acc_keys = acc_counts = None
+    acc_n = 0
+    for b in batches:
+        if b.num_reads == 0:
+            continue
+        keys, counts, n = cnt.count_batch(_pad_codes(b.codes), k)
+        n = int(n)
+        cap = min(next_pow2(n), keys.shape[0])
+        keys, counts = keys[:cap], counts[:cap]
+        if acc_keys is None:
+            acc_keys, acc_counts, acc_n = keys, counts, n
+        else:
+            mk, mc, mn = cnt.merge_counts(acc_keys, acc_counts, keys, counts)
+            acc_n = int(mn)
+            cap = min(next_pow2(acc_n), mk.shape[0])
+            acc_keys, acc_counts = mk[:cap], mc[:cap]
+    if acc_keys is None:
+        acc_keys = np.zeros((0, num_words(k)), np.uint32)
+        acc_counts = np.zeros((0,), np.uint32)
+        acc_n = 0
+    hist = np.asarray(cnt.occurrence_histogram(jnp.asarray(acc_counts)))
+    keys_h = np.asarray(acc_keys)[:acc_n]
+    counts_h = np.minimum(np.asarray(acc_counts)[:acc_n],
+                          cnt.MAX_OCCURRENCE).astype(np.uint32)
+    return KmerTable(k, keys_h, counts_h), hist
+
+
+# ---------------------------------------------------------------------------
+# k-extension schedule (assemble.cpp:657-736)
+# ---------------------------------------------------------------------------
+
+def calc_log_probability_join(coverage_cutoff: int, average_coverage: float,
+                              average_length: float, large_k: int,
+                              small_k: int) -> float:
+    """assemble.cpp:700-716: log P(all junction k-mers survive the cutoff),
+    Poisson with mean = k-mer coverage at large_k."""
+    lam = average_coverage * (average_length - large_k + 1.0) / average_length
+    s = 0.0
+    for i in range(int(coverage_cutoff)):
+        p = 0.0
+        for j in range(1, i + 1):
+            p += math.log(lam) - math.log(j)
+        s += math.exp(p)
+    s = math.exp(-lam + math.log(s)) if s > 0 else 0.0
+    return ((large_k - small_k) + 1.0) * (-s)
+
+
+def decrease_coverage_cutoff(coverage_cutoff: int, average_coverage: float,
+                             average_length: float, min_log_p_join: float,
+                             large_k: int, small_k: int) -> int:
+    """assemble.cpp:723-736."""
+    if coverage_cutoff <= 1:
+        return 1
+    i = coverage_cutoff
+    while i > 1:
+        if calc_log_probability_join(i, average_coverage, average_length,
+                                     large_k, small_k) > min_log_p_join:
+            break
+        i -= 1
+    return i
+
+
+def extend_kmer_schedule(min_log_p_join: float, average_coverage: float,
+                         average_length: float, min_coverage: int,
+                         k0: int, cutoff0: int, length_step: int,
+                         max_kmer_ratio: float) -> tuple[list[int], list[int]]:
+    """extendKmer (assemble.cpp:657-696): grow k by up to length_step while
+    the join probability stays above min_log_p_join; k capped near
+    max_kmer_ratio * read length."""
+    ks = [k0]
+    cutoffs = [cutoff0]
+    min_max_k = int(average_length * max_kmer_ratio + 0.5)
+    LOG.info("\nKMER_EXTENSION:")
+    LOG.info(f"K={k0}, KMER_COVERAGE="
+             f"{average_coverage * (average_length - k0 + 1.0) / average_length:.3g}"
+             f" (>= {cutoff0}), COVERAGE_CUTOFF={cutoff0}")
+    while ks[-1] <= average_length:
+        prev_k, prev_cut = ks[-1], cutoffs[-1]
+        k_i = prev_k
+        cut_i = prev_cut
+        for j in range(1, length_step + 2):
+            k_i = prev_k + j
+            cut_i = decrease_coverage_cutoff(prev_cut, average_coverage,
+                                             average_length, min_log_p_join,
+                                             k_i, prev_k)
+            cut_i = max(cut_i, min_coverage)
+            if (prev_k + j > min_max_k
+                    and calc_log_probability_join(cut_i, average_coverage,
+                                                  average_length, k_i, prev_k)
+                    < min_log_p_join):
+                break
+        k_i -= 1
+        cut_i = max(decrease_coverage_cutoff(prev_cut, average_coverage,
+                                             average_length, min_log_p_join,
+                                             k_i, prev_k), min_coverage)
+        if k_i == prev_k:
+            break
+        ks.append(k_i)
+        cutoffs.append(cut_i)
+        LOG.info(f"K={k_i}, KMER_COVERAGE="
+                 f"{average_coverage * (average_length - k_i + 1.0) / average_length:.3g}"
+                 f", COVERAGE_CUTOFF={cut_i}")
+    return ks, cutoffs
+
+
+# ---------------------------------------------------------------------------
+# contig-derived next-k table (saveContig, graph.h:1655-1771)
+# ---------------------------------------------------------------------------
+
+def _revcomp_np(s: np.ndarray) -> np.ndarray:
+    out = (3 - s[::-1].astype(np.int16)) % 5
+    return np.where(out > 3, 4, out).astype(np.uint8)
+
+
+def extended_unitig_sequences(dbg: DBG, diff: int) -> tuple[list[np.ndarray], np.ndarray]:
+    """Per-unitig extended base sequences for re-k-merization.
+
+    Each unitig is extended through a flanking junction (1 base) and — when
+    the junction's far side has exactly one edge leading into a chain — up
+    to `diff` bases of the adjacent unitig (graph.h:1678-1751).
+    Returns (list of code arrays, coverages).
+    """
+    u = dbg.label_unitigs()
+    seqs, base_lens = dbg.unitig_sequences()
+    succ_idx, succ_orient, out, outdeg, is_junction = dbg.topo
+    si = np.asarray(succ_idx)
+    so = np.asarray(succ_orient)
+    od = np.asarray(outdeg)
+    isj = np.asarray(is_junction)
+    keys_np = None  # lazy
+
+    from ..ops.kmer import kmer_to_codes
+    from ..ops.multiword import revcomp as mw_revcomp
+
+    k = dbg.k
+    n_nodes = dbg.keys.shape[0]
+
+    def junction_codes(j, orient):
+        nonlocal keys_np
+        if keys_np is None:
+            fwd = np.asarray(kmer_to_codes(dbg.keys, k))
+            rev = np.asarray(kmer_to_codes(mw_revcomp(dbg.keys, k), k))
+            keys_np = (fwd, rev)
+        return keys_np[orient][j]
+
+    def unitig_oriented_seq(uid2, end_node, end_orient):
+        """Unitig uid2's bases oriented so that (end_node, end_orient) is its
+        LAST k-mer."""
+        s = seqs[uid2, : base_lens[uid2]]
+        # stored orientation has utail as last; check whether requested end
+        # matches stored tail or stored head
+        t = u.utail[uid2]
+        if (t >> 1) == end_node and (t & 1) == end_orient:
+            return s
+        return _revcomp_np(s)
+
+    ext_seqs: list[np.ndarray] = []
+    for ui in range(u.num_unitigs):
+        parts = []
+        s = seqs[ui, : base_lens[ui]]
+        # ---- left (head) side
+        h = u.uhead[ui]
+        hi, ho = h >> 1, h & 1
+        look = 1 - ho
+        if od[hi, look] == 1:
+            b = int(np.argmax(si[hi, look] >= 0))
+            jn, jt = si[hi, look, b], so[hi, look, b]
+            if jn >= 0 and isj[jn]:
+                jc = junction_codes(jn, 1 - jt)  # oriented to precede head
+                far_part = None
+                # far side of junction: edges of (jn, jt)
+                if od[jn, jt] == 1:
+                    fb = int(np.argmax(si[jn, jt] >= 0))
+                    fn, fo = si[jn, jt, fb], so[jn, jt, fb]
+                    if fn >= 0 and not isj[fn] and u.uid[fn] >= 0:
+                        uid2 = u.uid[fn]
+                        t_seq = unitig_oriented_seq(uid2, fn, 1 - fo)
+                        ex = min(int(u.ulen[uid2]), diff)
+                        far_part = t_seq[len(t_seq) - (k - 1) - ex:
+                                         len(t_seq) - (k - 1)]
+                if far_part is not None and len(far_part):
+                    parts.append(far_part)
+                parts.append(jc[:1])  # junction's first base precedes head
+        parts.append(s)
+        # ---- right (tail) side
+        t = u.utail[ui]
+        ti, to = t >> 1, t & 1
+        if od[ti, to] == 1:
+            b = int(np.argmax(si[ti, to] >= 0))
+            jn, jt = si[ti, to, b], so[ti, to, b]
+            if jn >= 0 and isj[jn]:
+                jc = junction_codes(jn, jt)  # oriented to follow tail
+                parts.append(jc[-1:])
+                # far side = successors of (jn, jt): the walk continues
+                # tail -> junction -> far (graph.h:1722-1746 right terminal)
+                if od[jn, jt] == 1:
+                    fb = int(np.argmax(si[jn, jt] >= 0))
+                    fn, fo = si[jn, jt, fb], so[jn, jt, fb]
+                    if fn >= 0 and not isj[fn] and u.uid[fn] >= 0:
+                        uid2 = u.uid[fn]
+                        # oriented so fn is the FIRST k-mer: reverse of "last"
+                        t_seq = unitig_oriented_seq(uid2, fn, 1 - fo)
+                        t_seq = _revcomp_np(t_seq)
+                        ex = min(int(u.ulen[uid2]), diff)
+                        parts.append(t_seq[k - 1: k - 1 + ex])
+        ext_seqs.append(np.concatenate(parts) if len(parts) > 1 else s)
+    return ext_seqs, u.ucov
+
+
+def save_contig_next_k(dbg: DBG, next_k: int, occurrence_ratio: float) -> KmerTable:
+    """Contig-derived next-k occurrence table (graph.h:1655-1771): all
+    next_k-mers of the extended unitig sequences, occurrence =
+    u16(cov * ratio + 0.5), max-merged across unitigs."""
+    diff = next_k - dbg.k
+    ext_seqs, ucov = extended_unitig_sequences(dbg, diff)
+    occs = np.minimum((ucov * occurrence_ratio + 0.5).astype(np.uint32),
+                      cnt.MAX_OCCURRENCE)
+    keep = [i for i, s in enumerate(ext_seqs) if len(s) >= next_k]
+    if not keep:
+        return KmerTable(next_k, np.zeros((0, num_words(next_k)), np.uint32),
+                         np.zeros((0,), np.uint32))
+    from ..ops.padding import next_pow2
+    lmax = -(-max(len(ext_seqs[i]) for i in keep) // 32) * 32
+    rows = next_pow2(len(keep), minimum=64)
+    mat = np.full((rows, lmax), 4, dtype=np.uint8)
+    occv = np.zeros((rows,), np.uint32)
+    for r, i in enumerate(keep):
+        mat[r, : len(ext_seqs[i])] = ext_seqs[i]
+        occv[r] = occs[i]
+    keys, valid = extract_canonical_kmers(jnp.asarray(mat), next_k)
+    W = keys.shape[-1]
+    flat = keys.reshape(-1, W)
+    vals = jnp.broadcast_to(jnp.asarray(occv)[:, None],
+                            valid.shape).reshape(-1)
+    skeys, svals = cnt.sort_by_key(flat, vals)
+    ukeys, uvals, n = cnt.dedup_max(skeys, svals)
+    kh, vh = cnt.compact_host(ukeys, uvals, n)
+    return KmerTable(next_k, kh, vh)
+
+
+def edge_kmer_keys(dbg: DBG, next_k: int) -> np.ndarray:
+    """K-mers within diff = next_k - k of unitig ends (saveEdgeKmer,
+    graph.h:1877-1939; whole unitig when ulen < 2*diff)."""
+    diff = next_k - dbg.k
+    u = dbg.label_unitigs()
+    sel = u.uid >= 0
+    pos = u.upos
+    ulen_of = np.zeros_like(pos)
+    ulen_of[sel] = u.ulen[u.uid[sel]]
+    edge = sel & ((pos < diff) | (pos >= ulen_of - diff))
+    return np.asarray(dbg.keys)[edge]
+
+
+def filter_reads_by_edge_kmers(batches: list[ReadBatch], edge_keys: np.ndarray,
+                               k: int) -> list[ReadBatch]:
+    """pickupReadMatchedEdgeKmer (counter.h:870-910): keep reads containing
+    at least one edge k-mer."""
+    from ..ops.padding import pad_pow2
+    if len(edge_keys) == 0:
+        return [ReadBatch(b.codes[:0], b.lengths[:0]) for b in batches[:1]]
+    order = np.lexsort(tuple(edge_keys[:, w] for w in
+                             range(edge_keys.shape[1] - 1, -1, -1)))
+    table = jnp.asarray(pad_pow2(edge_keys[order], np.uint32(0xFFFFFFFF)))
+    out = []
+    for b in batches:
+        if b.num_reads == 0:
+            continue
+        padded = _pad_codes(b.codes)
+        keys, valid = extract_canonical_kmers(padded, k)
+        W = keys.shape[-1]
+        idx = lookup(table, keys.reshape(-1, W), len(edge_keys))
+        hit = (idx.reshape(valid.shape) >= 0) & valid
+        read_hit = np.asarray(jnp.any(hit, axis=1))[: b.num_reads]
+        out.append(ReadBatch(b.codes[read_hit], b.lengths[read_hit]))
+    return out
+
+
+def count_considering_previous(contig_table: KmerTable,
+                               batches: list[ReadBatch]) -> tuple[KmerTable, np.ndarray]:
+    """makeKmerReadDistributionConsideringPreviousGraph (counter.h:663-750):
+    contig-derived k-mers keep their coverage-based occurrence; read k-mers
+    NOT in the contig table are counted normally; result is the union."""
+    from ..ops.padding import pad_pow2
+    k = contig_table.k
+    read_table, _ = count_reads(batches, k)
+    if len(read_table) and len(contig_table):
+        ct = jnp.asarray(pad_pow2(contig_table.keys, np.uint32(0xFFFFFFFF)))
+        rt = jnp.asarray(pad_pow2(read_table.keys, np.uint32(0xFFFFFFFF)))
+        idx = np.asarray(lookup(ct, rt, len(contig_table)))[: len(read_table)]
+        new = idx < 0
+        rk, rc = read_table.keys[new], read_table.counts[new]
+    else:
+        rk, rc = read_table.keys, read_table.counts
+    if len(contig_table) == 0:
+        merged_k, merged_c = rk, rc
+    elif len(rk) == 0:
+        merged_k, merged_c = contig_table.keys, contig_table.counts
+    else:
+        mk, mc, mn = cnt.merge_counts(
+            jnp.asarray(pad_pow2(contig_table.keys, np.uint32(0xFFFFFFFF))),
+            jnp.asarray(pad_pow2(contig_table.counts, 0)),
+            jnp.asarray(pad_pow2(rk, np.uint32(0xFFFFFFFF))),
+            jnp.asarray(pad_pow2(rc, 0)))
+        merged_k, merged_c = cnt.compact_host(mk, mc, mn)
+    merged_c = np.minimum(merged_c, cnt.MAX_OCCURRENCE).astype(np.uint32)
+    hist = np.asarray(cnt.occurrence_histogram(jnp.asarray(merged_c)))
+    return KmerTable(k, merged_k, merged_c), hist
+
+
+def get_left_minimal(dist: np.ndarray) -> int:
+    """getLeftMinimal (graph.h): walk right from the first nonzero entry
+    until the value stops strictly decreasing."""
+    size = len(dist)
+    if size == 0:
+        return 0
+    i = 0
+    while i < size and dist[i] == 0:
+        i += 1
+    if i >= size:
+        return 1
+    pre = dist[i]
+    i += 1
+    while i < size:
+        if dist[i] >= pre:
+            break
+        pre = dist[i]
+        i += 1
+    return i - 1 if i < size else 1
+
+
+def left_minimal_coverage(dbg: DBG) -> int:
+    """getLeftMinimalCoverage (graph.h:1982-1993): getLeftMinimal over the
+    length-weighted unitig coverage distribution."""
+    u = dbg.label_unitigs()
+    dist = np.zeros(0x10000, dtype=np.int64)
+    np.add.at(dist, np.minimum(u.ucov, 0xFFFF - 1), u.ulen)
+    return get_left_minimal(dist)
+
+
+def build_dbg_from_table(table: KmerTable, cutoff: int) -> DBG:
+    """loadKmer (counter.h:600-640): keep occurrence >= cutoff, build graph."""
+    keep = table.counts >= cutoff
+    return DBG(table.k, table.keys[keep], table.counts[keep])
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AssembleOptions:
+    """assemble defaults (assemble.cpp:55-70)."""
+
+    k: int = 32                  # -k initial k
+    max_k_ratio: float = 0.5     # -K
+    step: int = 10               # -s
+    min_coverage: int = 1        # -c
+    manual_cutoff: int = 0       # -n
+    log_p_split: float = 10.0    # -a
+    bubble_threshold: float = 0.0  # -u (0 = no bubble crush)
+    branch_threshold: float = 0.5  # -d
+    fixed_average_coverage: float = 0.0  # -e (0 = auto)
+    repeat_mode: bool = False    # -repeat
+    kmer_occ_only: bool = False  # -kmer_occ_only
+
+    @property
+    def min_log_p_join(self) -> float:
+        return math.log(1.0 - 10.0 ** (-self.log_p_split))
+
+
+@dataclass
+class AssembleResult:
+    contigs: list[np.ndarray]      # base code arrays
+    contig_covs: list[float]       # already read-coverage scaled
+    junctions: list[np.ndarray]
+    junction_covs: list[float]
+    bubbles: list                  # clean.CrushedBubble (base codes + cov)
+    average_length: float
+    max_k: int
+    kmer_table: KmerTable | None = None   # final k table (for kmer_occ)
+    hist0: np.ndarray | None = None       # initial k histogram (TSV output)
+    k0: int = 0
+
+
+def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
+    total_bases = sum(b.total_bases for b in batches)
+    total_reads = sum(b.num_reads for b in batches)
+    average_length = total_bases / max(total_reads, 1)
+
+    # ---- initial k counting (initialKmerAssemble, assemble.cpp:303-386)
+    k0 = opts.k
+    with LOG.stage(f"K = {k0}, saving kmers from reads"):
+        table, hist = count_reads(batches, k0)
+    hist0 = hist
+
+    cutoff0 = cnt.coverage_cutoff(hist, manual=opts.manual_cutoff,
+                                  repeat_mode=opts.repeat_mode)
+    average_coverage = cnt.distribution_average(hist, cutoff0, cnt.MAX_OCCURRENCE)
+    coverage_cutoff_factor = 0.0  # MAX_COVERAGE_CUTOFF_FACTOR=0 (assemble.cpp:46)
+    if average_coverage * coverage_cutoff_factor > cutoff0:
+        cutoff0 = int(average_coverage * coverage_cutoff_factor)
+    average_coverage = cnt.distribution_average(hist, cutoff0, cnt.MAX_OCCURRENCE)
+    if opts.fixed_average_coverage:
+        average_coverage = opts.fixed_average_coverage
+    LOG.counter("AVE_READ_LEN", average_length)
+    # convert k-mer coverage to read coverage (assemble.cpp:332)
+    average_coverage = average_coverage * average_length / (average_length - k0 + 1.0)
+
+    ks, cutoffs = extend_kmer_schedule(
+        opts.min_log_p_join, average_coverage, average_length,
+        opts.min_coverage, k0, cutoff0, opts.step, opts.max_k_ratio)
+
+    if opts.kmer_occ_only:
+        return AssembleResult([], [], [], [], [], average_length, k0,
+                              kmer_table=table, hist0=hist0, k0=k0)
+
+    dbg = build_dbg_from_table(table, cutoffs[0])
+    clean.cut_branch_iterative(dbg, opts.branch_threshold)
+    if not opts.fixed_average_coverage:
+        average_coverage = clean.average_coverage_excluding_bubble(dbg)
+    else:
+        average_coverage = opts.fixed_average_coverage
+    if opts.repeat_mode:
+        kc = average_coverage
+        clean.delete_erroneous_iterative(dbg, 1 << 62, 1.75 * kc + 0.5,
+                                         opts.branch_threshold)
+        clean.crush_bubble_iterative(dbg, float("inf"), 0.95)
+    average_coverage = average_coverage * average_length / (average_length - k0 + 1.0)
+
+    # ---- k extension loop (saveAndRedoAssemble)
+    read_fp = batches  # the working (filtered) read set
+    for pos in range(1, len(ks)):
+        k_new, k_prev = ks[pos], ks[pos - 1]
+        with LOG.stage(f"extending k to {k_new}"):
+            edge = edge_kmer_keys(dbg, k_new)
+            read_fp = filter_reads_by_edge_kmers(read_fp, edge, k_prev)
+            ratio = (average_length - k_new + 1.0) / (average_length - k_prev + 1.0)
+            contig_tab = save_contig_next_k(dbg, k_new, ratio)
+            table, hist = count_considering_previous(contig_tab, read_fp)
+            LOG.counter("COVERAGE_CUTOFF", cutoffs[pos])
+            dbg = build_dbg_from_table(table, cutoffs[pos])
+            clean.cut_branch_iterative(dbg, opts.branch_threshold)
+            if opts.repeat_mode:
+                kc = average_coverage * (average_length - k_new + 1.0) / average_length + 0.5
+                clean.delete_erroneous_iterative(dbg, 1 << 62,
+                                                 1.75 * kc + 0.5,
+                                                 opts.branch_threshold)
+                clean.crush_bubble_iterative(dbg, float("inf"), 0.95)
+
+    # ---- output treatment (outputAndAfterTreatment, assemble.cpp:506-622)
+    k_last = ks[-1]
+    lmc = left_minimal_coverage(dbg)
+    length_cutoff = 2 * k_last
+    LOG.counter("LENGTH_CUTOFF", length_cutoff)
+    LOG.counter("COVERAGE_CUTOFF", lmc)
+    clean.delete_erroneous_iterative(dbg, length_cutoff, lmc,
+                                     opts.branch_threshold)
+
+    average_coverage = average_coverage * (average_length - k_last + 1.0) / average_length
+    bubbles: list[clean.CrushedBubble] = []
+    if opts.bubble_threshold > 0:
+        LOG.counter("AVE_KMER_COV_REMOVING_BUBBLE", average_coverage)
+        clean.crush_bubble_iterative(dbg, average_coverage,
+                                     opts.bubble_threshold, bubbles)
+
+    # final rebuild from the cleaned graph's own k-mers (outputAndAfterTreatment
+    # runs saveGraph with diff = k - k = 0, so no edge k-mers survive the read
+    # filter and the final table is exactly saveContig(k, ratio=1.0): extended
+    # unitig sequences re-k-merized with straight coverages)
+    table = save_contig_next_k(dbg, k_last, 1.0)
+    dbg = build_dbg_from_table(table, cutoffs[-1])
+
+    cov_ratio = average_length / (average_length - k_last + 1.0)
+    u = dbg.label_unitigs()
+    seqs, lens = dbg.unitig_sequences()
+    contigs = [seqs[i, : lens[i]] for i in range(u.num_unitigs)]
+    contig_covs = [float(u.ucov[i]) * cov_ratio for i in range(u.num_unitigs)]
+    ji, jc = dbg.junction_info()
+    from ..ops.kmer import kmer_to_codes
+    j_codes = np.asarray(kmer_to_codes(jnp.asarray(np.asarray(dbg.keys)[ji]),
+                                       k_last)) if len(ji) else np.zeros((0, k_last), np.uint8)
+    junctions = [j_codes[i] for i in range(len(ji))]
+    junction_covs = [float(c) * cov_ratio for c in jc]
+
+    return AssembleResult(contigs, contig_covs, junctions, junction_covs,
+                          bubbles, average_length, k_last,
+                          kmer_table=table, hist0=hist0, k0=k0)

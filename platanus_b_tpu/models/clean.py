@@ -1,0 +1,370 @@
+"""Graph simplification: masked bulk rounds iterated to fixed point.
+
+Functional equivalents of the reference's OpenMP table sweeps:
+- cut_branch            <- BruijnGraph::cutBranch (graph.h:830-926)
+- delete_erroneous      <- deleteErroneousStraightNode (graph.h:2033-2082)
+- crush_bubble          <- crushBubble (graph.h:592-681)
+- *_iterative drivers   <- cutBranchIterative / crushBubbleIterative /
+                           deleteErroneousStraightNodeIterative
+                           (graph.h:1830-1870, 2086-2106)
+
+Each pass computes delete/crush decisions from one immutable snapshot of
+the graph and applies them at once; relabeling after each round plays the
+role of concatinateNodes (graph.h:934-1033). The reference's in-pass
+mutation order can differ on ties — parity is defined on the converged
+fixed point (SURVEY §4 determinism caveat).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.align import edit_distance_batch
+from ..utils.log import LOG
+from .dbg import DBG
+
+BUBBLE_COVERAGE_RATE = 1.5  # graph.h:283
+
+
+@dataclass
+class CrushedBubble:
+    """A crushed bubble record for the _bubble.fa output and HeteroMapper
+    (graph.h:667-676 bubbleFP writes: base length, coverage, seq)."""
+
+    seq: np.ndarray  # base codes, full branch (ulen + k - 1 bases)
+    coverage: int
+
+
+def _unitig_ends(dbg: DBG):
+    """Per-unitig end attachments.
+
+    Returns dict with, for each side (0=head, 1=tail):
+      junc[side]  (U,) int32 node index of the attached junction, -1 if free
+      jorient[side] (U,) orientation of the junction node as entered
+    A chain end's unique extension always lands on a junction (chain_next
+    would have absorbed a non-junction neighbor).
+    """
+    u = dbg.label_unitigs()
+    succ_idx, succ_orient, out, outdeg, is_junction = dbg.topo
+    si = np.asarray(succ_idx)
+    so = np.asarray(succ_orient)
+    od = np.asarray(outdeg)
+
+    res = {}
+    for side, ends in ((0, u.uhead), (1, u.utail)):
+        i = ends >> 1
+        o = ends & 1
+        # head side looks backwards: orientation o^1; tail side forwards: o
+        look = (1 - o) if side == 0 else o
+        deg = od[i, look]
+        b = np.argmax(si[i, look] >= 0, axis=-1)
+        tgt = si[i, look, b]
+        tgt_or = so[i, look, b]
+        attached = (deg == 1) & (tgt >= 0)
+        res[side] = (np.where(attached, tgt, -1),
+                     np.where(attached, tgt_or, 0))
+    return res
+
+
+def _sibling_max_coverage(dbg: DBG, j_nodes: np.ndarray, j_orient: np.ndarray,
+                          exclude_uid: np.ndarray) -> np.ndarray:
+    """For each (junction, orientation) pair: max coverage over its branches
+    excluding branches that lead into unitig `exclude_uid`.
+
+    Branch coverage = the branch unitig's coverage if it leads to a chain,
+    or the branch junction k-mer's count (graph.h:866-877).
+    """
+    u = dbg.label_unitigs()
+    succ_idx, succ_orient, out, outdeg, is_junction = dbg.topo
+    si = np.asarray(succ_idx)
+    isj = np.asarray(is_junction)
+    counts = np.asarray(dbg.counts)
+    uid = u.uid
+
+    # NOTE: junction orientation here: the tip enters junction J with
+    # orientation q; the sibling branches of the tip are the *other* edges
+    # of J on the side the tip came from, i.e. out[J, 1-q].
+    q = 1 - j_orient
+    maxcov = np.zeros(len(j_nodes), dtype=np.int64)
+    for b in range(4):
+        tgt = si[j_nodes, q, b]
+        has = tgt >= 0
+        t = np.clip(tgt, 0, len(isj) - 1)
+        cov_j = counts[t]
+        cov_u = np.where(uid[t] >= 0, u.ucov[np.clip(uid[t], 0, max(u.num_unitigs - 1, 0))], 0)
+        cov = np.where(isj[t], cov_j, cov_u)
+        cov = np.where(has & (np.where(uid[t] >= 0, uid[t], -2) != exclude_uid), cov, 0)
+        maxcov = np.maximum(maxcov, cov)
+    return maxcov
+
+
+def cut_branch(dbg: DBG, branch_threshold: float = 0.5) -> int:
+    """One tip-clipping round (graph.h:830-926).
+
+    A tip is a unitig with <= k k-mers, attached to a junction on exactly
+    one side, dead-ended on the other; it is deleted when its coverage <=
+    branch_threshold * (max sibling branch coverage at that junction).
+    """
+    u = dbg.label_unitigs()
+    if u.num_unitigs == 0:
+        return 0
+    ends = _unitig_ends(dbg)
+    head_j, head_q = ends[0]
+    tail_j, tail_q = ends[1]
+
+    short = u.ulen <= dbg.k
+    one_side = (head_j >= 0) ^ (tail_j >= 0)
+    tip = short & one_side
+    if not tip.any():
+        return 0
+
+    jn = np.where(head_j >= 0, head_j, tail_j)
+    jq = np.where(head_j >= 0, head_q, tail_q)
+    uidx = np.arange(u.num_unitigs)
+    maxcov = np.zeros(u.num_unitigs, dtype=np.int64)
+    sel = np.nonzero(tip)[0]
+    maxcov[sel] = _sibling_max_coverage(dbg, jn[sel], jq[sel], uidx[sel])
+
+    kill = tip & (u.ucov.astype(np.float64) <= maxcov * branch_threshold)
+    n_kill = int(kill.sum())
+    if n_kill:
+        dbg.delete_unitigs(kill)
+    return n_kill
+
+
+def delete_erroneous(dbg: DBG, length_cut: int, coverage_cut: float) -> int:
+    """deleteErroneousStraightNode (graph.h:2033-2082): kill unitigs with
+    ulen < length_cut AND coverage < coverage_cut."""
+    u = dbg.label_unitigs()
+    if u.num_unitigs == 0:
+        return 0
+    kill = (u.ulen < length_cut) & (u.ucov < coverage_cut)
+    n_kill = int(kill.sum())
+    if n_kill:
+        dbg.delete_unitigs(kill)
+    return n_kill
+
+
+def cut_branch_iterative(dbg: DBG, branch_threshold: float = 0.5) -> int:
+    """cutBranchIterative (graph.h:1830-1845): fixed point of tip clipping.
+    Relabeling between rounds merges chains like concatinateNodes."""
+    LOG.info("removing branches...")
+    total = 0
+    while True:
+        n = cut_branch(dbg, branch_threshold)
+        LOG.counter("NUM_CUT", n)
+        if n == 0:
+            break
+        total += n
+    return total
+
+
+def delete_erroneous_iterative(dbg: DBG, length_cut: int, coverage_cut: float,
+                               branch_threshold: float = 0.5) -> int:
+    """deleteErroneousStraightNodeIterative (graph.h:2086-2106): alternate
+    cutBranch + deleteErroneousStraightNode until quiescent."""
+    LOG.info("removing erroneous nodes...")
+    total = 0
+    while True:
+        n = cut_branch(dbg, branch_threshold)
+        n += delete_erroneous(dbg, length_cut, coverage_cut)
+        LOG.counter("NUM_REMOVED_NODES", n)
+        if n == 0:
+            break
+        total += n
+    LOG.counter("TOTAL_NUM_REMOVED_NODES", total)
+    return total
+
+
+def crush_bubble(dbg: DBG, average_coverage: float,
+                 bubble_threshold: float = 0.1,
+                 crushed: list[CrushedBubble] | None = None) -> int:
+    """One bubble-crush round (graph.h:592-681).
+
+    Branch pairs that start and end at the same junction pair, whose summed
+    coverage <= average_coverage * 1.5 + 0.5, and whose middle sections are
+    within edit distance (max_len + k - 1) * bubble_threshold + 0.5 are
+    clustered; the max-coverage member of each cluster survives and absorbs
+    the crushed members' coverage (graph.h:660-663).
+    """
+    k = dbg.k
+    u = dbg.label_unitigs()
+    if u.num_unitigs == 0:
+        return 0
+    ends = _unitig_ends(dbg)
+    head_j, _head_q = ends[0]
+    tail_j, _tail_q = ends[1]
+
+    both = (head_j >= 0) & (tail_j >= 0)
+    cand = np.nonzero(both)[0]
+    if len(cand) == 0:
+        return 0
+
+    cov_threshold = min(int(average_coverage * BUBBLE_COVERAGE_RATE + 0.5), 0xFFFF)
+    if average_coverage >= 0xFFFF:
+        cov_threshold = 0xFFFF
+
+    # group candidate branches by unordered junction pair
+    ja = np.minimum(head_j[cand], tail_j[cand])
+    jb = np.maximum(head_j[cand], tail_j[cand])
+    order = np.lexsort((jb, ja))
+    cand = cand[order]
+    ja, jb = ja[order], jb[order]
+    grp_new = np.ones(len(cand), dtype=bool)
+    grp_new[1:] = (ja[1:] != ja[:-1]) | (jb[1:] != jb[:-1])
+    grp_id = np.cumsum(grp_new) - 1
+
+    # sequences (only materialize once per round)
+    seqs, base_lens = dbg.unitig_sequences()
+
+    # orient every branch from the smaller junction (ja) to the larger: if
+    # the stored traversal enters from tail_j == ja, flip
+    def branch_seq(ui):
+        s = seqs[ui, : base_lens[ui]]
+        if min(head_j[ui], tail_j[ui]) != head_j[ui]:
+            s = (3 - s[::-1]) % 5
+            s = np.where(s > 3, 4, s)
+        return s
+
+    # pairwise bubble test inside each group
+    pairs_a, pairs_b = [], []
+    for g in range(grp_id[-1] + 1 if len(grp_id) else 0):
+        members = cand[grp_id == g]
+        if len(members) < 2:
+            continue
+        for x in range(len(members) - 1):
+            for y in range(x + 1, len(members)):
+                u1, u2 = members[x], members[y]
+                if int(u.ucov[u1]) + int(u.ucov[u2]) > cov_threshold:
+                    continue
+                pairs_a.append(u1)
+                pairs_b.append(u2)
+    if not pairs_a:
+        return 0
+    pairs_a = np.array(pairs_a)
+    pairs_b = np.array(pairs_b)
+
+    len_a = u.ulen[pairs_a].astype(np.int64)
+    len_b = u.ulen[pairs_b].astype(np.int64)
+    thr = ((np.maximum(len_a, len_b) + k - 1) * bubble_threshold + 0.5).astype(np.int64)
+
+    # short rule (graph.h:627-636): min length + 1 <= k -> compare lengths
+    short = np.minimum(len_a, len_b) + 1 <= k
+    ok_short = short & (np.abs(len_a - len_b) <= thr)
+
+    # long rule: edit distance of middle sections, base positions
+    # [k-1, ulen) of the ja->jb oriented branch (alignment length ulen-k+1)
+    need_align = ~short
+    ok_align = np.zeros(len(pairs_a), dtype=bool)
+    if need_align.any():
+        ai = np.nonzero(need_align)[0]
+        mida = [branch_seq(pairs_a[i])[k - 1: u.ulen[pairs_a[i]]] for i in ai]
+        midb = [branch_seq(pairs_b[i])[k - 1: u.ulen[pairs_b[i]]] for i in ai]
+        from ..ops.padding import next_pow2
+        la = np.array([len(s) for s in mida], dtype=np.int32)
+        lb = np.array([len(s) for s in midb], dtype=np.int32)
+        rows = next_pow2(len(ai), minimum=16)
+        ma = next_pow2(int(la.max()), minimum=32)
+        mb = next_pow2(int(lb.max()), minimum=32)
+        A = np.zeros((rows, ma), dtype=np.uint8)
+        B = np.zeros((rows, mb), dtype=np.uint8)
+        for r, s in enumerate(mida):
+            A[r, : len(s)] = s
+        for r, s in enumerate(midb):
+            B[r, : len(s)] = s
+        lap = np.zeros(rows, np.int32)
+        lbp = np.zeros(rows, np.int32)
+        lap[: len(ai)], lbp[: len(ai)] = la, lb
+        dist = np.asarray(edit_distance_batch(A, lap, B, lbp))[: len(ai)]
+        ok_align[ai] = dist <= thr[ai]
+
+    ok = ok_short | ok_align
+    if not ok.any():
+        return 0
+
+    # union-find clustering of ok pairs
+    parent = np.arange(u.num_unitigs)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_a[ok], pairs_b[ok]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    roots = np.array([find(x) for x in range(u.num_unitigs)])
+    clustered = np.nonzero(roots != np.arange(u.num_unitigs))[0]
+    involved = np.unique(np.concatenate([clustered, roots[clustered]]))
+
+    kill = np.zeros(u.num_unitigs, dtype=bool)
+    cov_add = np.zeros(u.num_unitigs, dtype=np.float64)
+    n_crush = 0
+    for r in np.unique(roots[involved]):
+        members = involved[roots[involved] == r]
+        if len(members) < 2:
+            continue
+        winner = members[np.argmax(u.ucov[members])]
+        for mbr in members:
+            if mbr == winner:
+                continue
+            # winner absorbs: cov += cov_m * len_m / len_winner (graph.h:660)
+            cov_add[winner] += u.ucov[mbr] * u.ulen[mbr] / u.ulen[winner]
+            kill[mbr] = True
+            if crushed is not None:
+                crushed.append(CrushedBubble(
+                    seq=seqs[mbr, : base_lens[mbr]].copy(),
+                    coverage=int(u.ucov[mbr])))
+            n_crush += 1
+
+    if n_crush:
+        # propagate absorbed coverage into member k-mer counts so the next
+        # labeling reproduces the boosted average
+        add_per_node = np.zeros(dbg.keys.shape[0], dtype=np.float64)
+        sel = u.uid >= 0
+        add_per_node[sel] = cov_add[u.uid[sel]]
+        if add_per_node.any():
+            import jax.numpy as jnp
+            new_counts = np.asarray(dbg.counts).astype(np.float64) + add_per_node
+            dbg.counts = jnp.asarray(np.minimum(np.round(new_counts), 0xFFFF - 1)
+                                     .astype(np.uint32))
+        dbg.delete_unitigs(kill)
+    return n_crush
+
+
+def crush_bubble_iterative(dbg: DBG, average_coverage: float,
+                           bubble_threshold: float = 0.1,
+                           crushed: list[CrushedBubble] | None = None) -> int:
+    """crushBubbleIterative (graph.h:1852-1870)."""
+    LOG.info("removing bubbles...")
+    total = 0
+    while True:
+        n = crush_bubble(dbg, average_coverage, bubble_threshold, crushed)
+        LOG.counter("NUM_REMOVED_BUBBLES", n)
+        if n == 0:
+            break
+        total += n
+    return total
+
+
+def average_coverage_excluding_bubble(dbg: DBG) -> float:
+    """getAverageCoverageExcludingBubble (graph.h:2375-2431): mean unitig
+    coverage weighted by length, excluding likely-bubble unitigs (those
+    attached to junctions on both sides with a parallel sibling).
+
+    Simplified: length-weighted mean over unitigs of length > k (the
+    reference excludes detected bubble structures; short attached unitigs
+    dominate that set)."""
+    u = dbg.label_unitigs()
+    if u.num_unitigs == 0:
+        return 0.0
+    w = u.ulen.astype(np.float64)
+    mask = u.ulen > dbg.k
+    if not mask.any():
+        mask = np.ones_like(mask)
+    return float((u.ucov[mask] * w[mask]).sum() / w[mask].sum())

@@ -1,0 +1,349 @@
+"""De Bruijn graph as flat device arrays + pointer-doubling unitig labeling.
+
+The reference builds its graph by a sequential DFS over a hash table
+(graph.h:290-579 makeInitialBruijnGraph) into Straight (unitig) and
+Junction node maps. Here the graph IS the sorted k-mer table:
+
+- node i = i-th canonical k-mer (sorted keys from ops.count)
+- oriented node (i, o): o=0 the stored (canonical) orientation, o=1 its
+  reverse complement
+- adjacency out[i, o] = 4-bit flags over extension bases, computed by bulk
+  canonical lookups of all shifted k-mers (replaces per-extension hash
+  probes)
+- a node is a *junction* iff it branches in either orientation
+  (popcount(out) >= 2), exactly the reference's Junction criterion
+- unitigs = maximal chains of non-junction nodes, labeled with
+  pointer-doubling list ranking (O(log N) bulk rounds instead of DFS)
+
+Straight.length in the reference counts K-MERS, not bases
+(graph.h:52 comment: actual seq length = length + k - 1); `ulen` here
+follows the same convention so every threshold (cutBranch's
+length <= kmerLength, deleteErroneousStraightNode's lengthCut) carries
+over unchanged.
+
+Shape discipline: the key table is padded to a power-of-two capacity
+(SENTINEL rows, alive=False), so adjacency + labeling compile once per
+(capacity, k) pair; all iteration counts derive from the capacity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmer import SENTINEL, kmer_to_codes
+from ..ops.multiword import mw_le, mw_shl2, num_words, revcomp
+from ..ops.padding import next_pow2, pad_rows
+from ..ops.search import _lookup_jit
+
+INVALID = np.int32(-1)
+
+
+def popcount4(x: jnp.ndarray) -> jnp.ndarray:
+    return ((x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# adjacency (jitted once per (capacity, k))
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _adjacency_kernel(keys: jnp.ndarray, alive: jnp.ndarray,
+                      n: jnp.ndarray, k: int):
+    cap = keys.shape[0]
+    dead_key = jnp.full_like(keys, SENTINEL)
+    # all 8 extension queries (2 orientations x 4 bases) in ONE batched
+    # lookup: a single binary-search loop over (8N, W) queries
+    queries = []
+    orients = []
+    for o in (0, 1):
+        ok = keys if o == 0 else revcomp(keys, k)
+        shifted = mw_shl2(ok, k)
+        for b in range(4):
+            q = shifted.at[..., -1].set(shifted[..., -1] | np.uint32(b))
+            rc = revcomp(q, k)
+            is_fwd = mw_le(q, rc)
+            canon = jnp.where(is_fwd[..., None], q, rc)
+            canon = jnp.where(alive[:, None], canon, dead_key)
+            queries.append(canon)
+            orients.append(jnp.where(is_fwd, 0, 1).astype(jnp.uint8))
+    q_all = jnp.concatenate(queries, axis=0)          # (8N, W)
+    idx_all = _lookup_jit(keys, q_all, n)
+    idx_all = jnp.where(
+        (idx_all >= 0) & alive[jnp.clip(idx_all, 0, cap - 1)], idx_all, INVALID)
+    # (8, N) -> (N, 2, 4)
+    succ_idx = idx_all.reshape(2, 4, cap).transpose(2, 0, 1)
+    succ_orient = jnp.stack(orients, axis=0).reshape(2, 4, cap).transpose(2, 0, 1)
+    exists = succ_idx >= 0
+    out = jnp.sum(jnp.where(exists, jnp.uint8(1) << jnp.arange(4, dtype=jnp.uint8),
+                            0), axis=-1).astype(jnp.uint8)
+    outdeg = popcount4(out)
+    is_junction = alive & ((outdeg[:, 0] >= 2) | (outdeg[:, 1] >= 2))
+    return succ_idx, succ_orient, out, outdeg, is_junction
+
+
+# ---------------------------------------------------------------------------
+# labeling kernel (jitted once per capacity)
+# ---------------------------------------------------------------------------
+
+def _doubling_rank(ptr, rank, anchor, iters):
+    m = ptr.shape[0]
+
+    def body(_, state):
+        ptr, rank, anchor = state
+        has = ptr >= 0
+        p = jnp.clip(ptr, 0, m - 1)
+        rank = jnp.where(has, rank + rank[p], rank)
+        anchor = jnp.where(has, anchor[p], anchor)
+        ptr = jnp.where(has, ptr[p], ptr)
+        return ptr, rank, anchor
+
+    return jax.lax.fori_loop(0, iters, body, (ptr, rank, anchor))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _label_kernel(succ_idx, succ_orient, outdeg, is_junction, alive, counts,
+                  iters: int):
+    cap = alive.shape[0]
+    m = 2 * cap
+
+    # chain-next over oriented nodes: link (i,o) -> (s,p) iff i alive
+    # non-junction with outdeg(i,o)==1 and s alive non-junction
+    uniq = outdeg == 1
+    b = jnp.argmax(succ_idx >= 0, axis=-1)
+    s = jnp.take_along_axis(succ_idx, b[..., None], axis=-1)[..., 0]
+    p = jnp.take_along_axis(succ_orient, b[..., None], axis=-1)[..., 0]
+    s_ok = (s >= 0) & ~is_junction[jnp.clip(s, 0, cap - 1)]
+    src_ok = alive[:, None] & ~is_junction[:, None] & uniq
+    nxt = jnp.where(src_ok & s_ok, 2 * s + p.astype(jnp.int32), INVALID)
+    nxt = nxt.reshape(-1)  # (2N,)
+
+    arange = jnp.arange(m, dtype=jnp.int32)
+    twin = arange ^ 1
+    nt = nxt[twin]
+    prv = jnp.where(nt >= 0, nt ^ 1, INVALID)
+
+    # cycle detection + mirror-consistent canonical cut: edge (j -> nxt[j])
+    # and its strand mirror share the sorted id pair {j, nxt[j]^1}; cutting
+    # the lexicographically smallest pair picks the same physical cut on
+    # both strands so cycles reduce to ordinary twin chains.
+    rank0 = jnp.where(prv >= 0, 1, 0).astype(jnp.int32)
+    anchor0 = jnp.where(prv >= 0, prv, arange)
+    ptr_rem, _, _ = _doubling_rank(prv, rank0, anchor0, iters)
+    in_cycle = ptr_rem >= 0
+    ea = jnp.where(nxt >= 0, jnp.minimum(arange, nxt ^ 1), m)
+    eb = jnp.where(nxt >= 0, jnp.maximum(arange, nxt ^ 1), m)
+    cyc_ptr = jnp.where(in_cycle, prv, INVALID)
+
+    def minpair_body(_, state):
+        ptr, a, bb = state
+        has = ptr >= 0
+        pp = jnp.clip(ptr, 0, m - 1)
+        ap, bp = a[pp], bb[pp]
+        better = has & ((ap < a) | ((ap == a) & (bp < bb)))
+        a = jnp.where(better, ap, a)
+        bb = jnp.where(better, bp, bb)
+        ptr = jnp.where(has, ptr[pp], ptr)
+        return ptr, a, bb
+
+    _, ma, mb = jax.lax.fori_loop(0, iters, minpair_body, (cyc_ptr, ea, eb))
+    cut_here = in_cycle & (ea == ma) & (eb == mb)
+    nxt = jnp.where(cut_here, INVALID, nxt)
+    nt = nxt[twin]
+    prv = jnp.where(nt >= 0, nt ^ 1, INVALID)
+
+    # list ranking
+    rank0 = jnp.where(prv >= 0, 1, 0).astype(jnp.int32)
+    anchor0 = jnp.where(prv >= 0, prv, arange)
+    _, rank, head = _doubling_rank(prv, rank0, anchor0, iters)
+    t0 = jnp.where(nxt >= 0, nxt, arange)
+    _, _, tail = _doubling_rank(nxt, jnp.zeros_like(rank0), t0, iters)
+
+    node_alive_nonj = alive & ~is_junction
+    oriented_valid = jnp.repeat(node_alive_nonj, 2)
+    is_head = oriented_valid & (prv == INVALID)
+    rep = is_head & (arange <= (tail ^ 1))
+
+    rep_i = jnp.cumsum(rep.astype(jnp.int32)) - 1
+    num_u = jnp.sum(rep.astype(jnp.int32))
+    head_uid = jnp.where(rep, rep_i, INVALID)
+
+    uid_o = head_uid[head]
+    twin_head = tail ^ 1
+    uid_t = head_uid[twin_head]
+    use_twin = (uid_o < 0) & (uid_t >= 0)
+    uid_j = jnp.where(use_twin, uid_t, uid_o)
+    chain_len = rank[tail] + 1
+    pos_j = jnp.where(use_twin, chain_len - 1 - rank, rank)
+    orient_j = jnp.where(use_twin, (arange ^ 1) & 1, arange & 1)
+
+    uid_n = uid_j.reshape(cap, 2)
+    pos_n = pos_j.reshape(cap, 2)
+    ori_n = orient_j.reshape(cap, 2)
+    pick = jnp.argmax((uid_n >= 0).astype(jnp.int32), axis=1)
+    uid = jnp.take_along_axis(uid_n, pick[:, None], 1)[:, 0]
+    upos = jnp.take_along_axis(pos_n, pick[:, None], 1)[:, 0]
+    uorient = jnp.take_along_axis(ori_n, pick[:, None], 1)[:, 0]
+    uid = jnp.where(node_alive_nonj, uid, INVALID)
+
+    # per-unitig stats (capacity-sized, trimmed on host)
+    seg = jnp.where(uid >= 0, uid, cap)
+    ulen = jnp.zeros((cap,), jnp.int32).at[seg].add(
+        jnp.where(uid >= 0, 1, 0), mode="drop")
+    csum = jnp.zeros((cap,), jnp.float32).at[seg].add(
+        jnp.where(uid >= 0, counts.astype(jnp.float32), 0.0), mode="drop")
+    ucov = jnp.floor(csum / jnp.maximum(ulen, 1) + 0.5).astype(jnp.uint32)
+
+    heads_idx = jnp.nonzero(rep, size=cap, fill_value=0)[0].astype(jnp.int32)
+    utail = tail[heads_idx]
+
+    return uid, upos, uorient, num_u, ulen, ucov, heads_idx, utail
+
+
+@dataclass
+class Unitigs:
+    """Unitig labeling of the alive node set (host-side handles).
+
+    uid/upos/uorient: per NODE (k-mer): unitig id (-1 for junctions/dead),
+      k-mer position within the unitig, orientation of the node as traversed.
+    ulen: (U,) k-mer count per unitig (reference Straight.length semantics).
+    ucov: (U,) coverage = floor(sum(counts)/ulen + 0.5) (graph.h:571).
+    uhead/utail: (U,) oriented-node id (2*i+o) of first/last k-mer.
+    is_junction: per-node junction mask.
+    """
+
+    uid: np.ndarray
+    upos: np.ndarray
+    uorient: np.ndarray
+    ulen: np.ndarray
+    ucov: np.ndarray
+    uhead: np.ndarray
+    utail: np.ndarray
+    is_junction: np.ndarray
+    num_unitigs: int
+
+
+# ---------------------------------------------------------------------------
+# sequence materialization kernel
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "lmax"))
+def _sequence_kernel(keys, uid, upos, uorient, k: int, lmax: int):
+    cap = keys.shape[0]
+    oriented = jnp.where(uorient[:, None] == 0, keys, revcomp(keys, k))
+    last_base = (oriented[:, -1] & 3).astype(jnp.uint8)
+    member = uid >= 0
+    seg_u = jnp.where(member, uid, cap)
+    seqs = jnp.full((cap, lmax), 4, dtype=jnp.uint8)
+    col = jnp.clip(upos + k - 1, 0, lmax - 1)
+    seqs = seqs.at[seg_u, col].set(last_base, mode="drop")
+    # head nodes contribute their full first k-1 bases in one scatter
+    head_codes = kmer_to_codes(oriented, k)  # (N, k)
+    head_rows = jnp.where(member & (upos == 0), uid, cap)
+    seqs = seqs.at[head_rows[:, None],
+                   jnp.arange(k - 1)[None, :]].set(head_codes[:, : k - 1],
+                                                   mode="drop")
+    return seqs
+
+
+class DBG:
+    """The graph state: sorted canonical k-mer table + alive mask.
+
+    Mutation = flipping `alive` bits (the reference deletes by writing
+    UINT16_MAX coverage, graph.h:95); topology/labeling are recomputed in
+    bulk after each cleaning round — the functional equivalent of
+    concatinateNodes (graph.h:934-1033).
+    """
+
+    def __init__(self, k: int, keys, counts, n: int | None = None):
+        keys = np.asarray(keys)
+        counts = np.asarray(counts, dtype=np.uint32)
+        self.k = k
+        self.n = int(n if n is not None else keys.shape[0])
+        cap = next_pow2(self.n)
+        self.keys = jnp.asarray(pad_rows(keys[: self.n],
+                                         cap, np.uint32(0xFFFFFFFF)))
+        self.counts = jnp.asarray(pad_rows(counts[: self.n], cap, 0))
+        self.alive = jnp.arange(cap) < self.n
+        self._topo = None
+        self._unitigs = None
+
+    @property
+    def capacity(self) -> int:
+        return int(self.keys.shape[0])
+
+    def invalidate(self):
+        self._topo = None
+        self._unitigs = None
+
+    @property
+    def topo(self):
+        if self._topo is None:
+            self._topo = _adjacency_kernel(self.keys, self.alive,
+                                           jnp.int32(self.n), self.k)
+        return self._topo
+
+    def label_unitigs(self) -> Unitigs:
+        if self._unitigs is not None:
+            return self._unitigs
+        succ_idx, succ_orient, out, outdeg, is_junction = self.topo
+        iters = max(1, math.ceil(math.log2(max(self.capacity, 2))) + 1)
+        uid, upos, uorient, num_u, ulen, ucov, uhead, utail = _label_kernel(
+            succ_idx, succ_orient, outdeg, is_junction, self.alive,
+            self.counts, iters)
+        num_u = int(num_u)
+        self._unitigs = Unitigs(
+            uid=np.asarray(uid), upos=np.asarray(upos),
+            uorient=np.asarray(uorient), ulen=np.asarray(ulen)[:num_u],
+            ucov=np.asarray(ucov)[:num_u], uhead=np.asarray(uhead)[:num_u],
+            utail=np.asarray(utail)[:num_u],
+            is_junction=np.asarray(is_junction), num_unitigs=num_u)
+        return self._unitigs
+
+    # -- sequences ---------------------------------------------------------
+    def unitig_sequences(self) -> tuple[np.ndarray, np.ndarray]:
+        """(seqs (U, lmax) uint8 padded with 4, base lengths (U,) =
+        ulen + k - 1). Head contributes its first k-1 bases; every node its
+        last base in traversal orientation."""
+        u = self.label_unitigs()
+        k = self.k
+        num_u = u.num_unitigs
+        if num_u == 0:
+            return np.zeros((0, 0), np.uint8), np.zeros((0,), np.int64)
+        base_lens = u.ulen.astype(np.int64) + k - 1
+        lmax = next_pow2(int(base_lens.max()), minimum=64)
+        seqs = _sequence_kernel(self.keys, jnp.asarray(u.uid),
+                                jnp.asarray(u.upos), jnp.asarray(u.uorient),
+                                k, lmax)
+        seqs = np.array(seqs[:num_u])
+        mask = np.arange(lmax)[None, :] >= base_lens[:, None]
+        seqs[mask] = 4
+        return seqs, base_lens
+
+    def junction_info(self):
+        """(indices, counts) of alive junction k-mers."""
+        _, _, _, _, is_junction = self.topo
+        idx = np.nonzero(np.asarray(is_junction))[0]
+        return idx, np.asarray(self.counts)[idx]
+
+    # -- mutation ----------------------------------------------------------
+    def delete_nodes(self, node_mask) -> None:
+        """Kill nodes (the bulk analog of deleteStraight, graph.h:934+)."""
+        self.alive = self.alive & ~jnp.asarray(node_mask)
+        self.invalidate()
+
+    def delete_unitigs(self, unitig_mask: np.ndarray) -> None:
+        u = self.label_unitigs()
+        umask = np.asarray(unitig_mask)
+        node_kill = np.zeros(self.capacity, dtype=bool)
+        sel = u.uid >= 0
+        node_kill[sel] = umask[u.uid[sel]]
+        self.delete_nodes(node_kill)
+
+    def num_alive(self) -> int:
+        return int(jnp.sum(self.alive.astype(jnp.int32)))

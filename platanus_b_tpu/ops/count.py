@@ -1,0 +1,217 @@
+"""Deterministic k-mer counting: sort + segment-reduce on device.
+
+The reference counts k-mers into a 1024-way lock-striped open-addressing
+DoubleHash with out-of-core spill passes (counter.h:276-383,459-476,
+doubleHash.h:118-218). Random scatter into an HBM hash table is the wrong
+shape for a TPU; the idiomatic equivalent is a *sorted multiset*: extract
+all canonical k-mers, sort them (XLA's native multi-operand sort), and
+segment-reduce equal runs. The result — a sorted unique-key table with
+counts — doubles as the lookup structure (binary search, ops.search)
+everywhere the reference probes its hash table.
+
+Determinism is total (no lock interleavings), and the sorted table is also
+exactly what graph construction wants (graph.h:290 consumes sorted seeds).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kmer import SENTINEL, extract_canonical_kmers
+from .multiword import U32, mw_eq
+
+# occurrence values saturate one below the u16 deleted-marker, as in
+# countKmerOrWriteTemporary (counter.h:459-476: UINT16_MAX-1 cap)
+MAX_OCCURRENCE = 0xFFFF - 1
+
+
+def sort_by_key(keys: jnp.ndarray, *payloads: jnp.ndarray):
+    """Sort rows of (N, W) keys lexicographically, carrying payloads."""
+    W = keys.shape[-1]
+    ops = tuple(keys[:, w] for w in range(W)) + tuple(payloads)
+    out = jax.lax.sort(ops, num_keys=W)
+    skeys = jnp.stack(out[:W], axis=-1)
+    return (skeys,) + tuple(out[W:])
+
+
+def dedup_sum(sorted_keys: jnp.ndarray, sorted_counts: jnp.ndarray):
+    """Collapse equal adjacent keys, summing counts.
+
+    Returns (ukeys, ucounts, n_unique): unique keys packed at the front in
+    sorted order (capacity = input length, tail filled with SENTINEL rows,
+    zero counts). SENTINEL rows in the input sort last and are excluded.
+    """
+    n = sorted_keys.shape[0]
+    valid = ~mw_eq(sorted_keys, jnp.full_like(sorted_keys, SENTINEL))
+    is_new = jnp.concatenate([
+        valid[:1],
+        valid[1:] & ~mw_eq(sorted_keys[1:], sorted_keys[:-1]),
+    ])
+    n_unique = jnp.sum(is_new.astype(jnp.int32))
+    # segment id per element; sentinels get the out-of-bounds id n and are
+    # dropped by the scatters below
+    seg = jnp.where(valid, jnp.cumsum(is_new.astype(jnp.int32)) - 1, n)
+    counts = sorted_counts.astype(jnp.uint32)
+    ucounts = jnp.zeros((n,), jnp.uint32).at[seg].add(counts, mode="drop")
+    ukeys = jnp.full_like(sorted_keys, SENTINEL).at[seg].set(
+        sorted_keys, mode="drop")
+    return ukeys, ucounts, n_unique
+
+
+def dedup_max(sorted_keys: jnp.ndarray, sorted_vals: jnp.ndarray):
+    """Like dedup_sum but keeps the MAX value per key — the merge rule of
+    saveContig's next-k table inserts (graph.h:1760-1765: keep larger
+    occurrence)."""
+    n = sorted_keys.shape[0]
+    valid = ~mw_eq(sorted_keys, jnp.full_like(sorted_keys, SENTINEL))
+    is_new = jnp.concatenate([
+        valid[:1],
+        valid[1:] & ~mw_eq(sorted_keys[1:], sorted_keys[:-1]),
+    ])
+    n_unique = jnp.sum(is_new.astype(jnp.int32))
+    seg = jnp.where(valid, jnp.cumsum(is_new.astype(jnp.int32)) - 1, n)
+    vals = sorted_vals.astype(jnp.uint32)
+    uvals = jnp.zeros((n,), jnp.uint32).at[seg].max(vals, mode="drop")
+    ukeys = jnp.full_like(sorted_keys, SENTINEL).at[seg].set(
+        sorted_keys, mode="drop")
+    return ukeys, uvals, n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_batch(codes: jnp.ndarray, k: int):
+    """Count canonical k-mers of one read batch.
+
+    Returns (ukeys (C, W), ucounts (C,) uint32, n_unique) with
+    C = total window capacity of the batch.
+    """
+    keys, valid = extract_canonical_kmers(codes, k)
+    W = keys.shape[-1]
+    flat = keys.reshape(-1, W)
+    ones = valid.reshape(-1).astype(jnp.uint32)
+    skeys, scounts = sort_by_key(flat, ones)
+    return dedup_sum(skeys, scounts)
+
+
+@jax.jit
+def merge_counts(keys_a, counts_a, keys_b, counts_b):
+    """Merge two unique-count tables (concat + sort + segment-sum).
+
+    Replaces the reference's iterative spill/re-count passes
+    (counter.h:341-364) with a deterministic merge.
+    """
+    keys = jnp.concatenate([keys_a, keys_b], axis=0)
+    counts = jnp.concatenate([counts_a.astype(jnp.uint32),
+                              counts_b.astype(jnp.uint32)], axis=0)
+    skeys, scounts = sort_by_key(keys, counts)
+    return dedup_sum(skeys, scounts)
+
+
+def compact_host(ukeys, ucounts, n_unique) -> tuple[np.ndarray, np.ndarray]:
+    """Trim padded capacity to the true unique count (host-side)."""
+    n = int(n_unique)
+    return np.asarray(ukeys)[:n], np.asarray(ucounts)[:n]
+
+
+@jax.jit
+def occurrence_histogram(counts: jnp.ndarray) -> jnp.ndarray:
+    """Occurrence distribution: hist[occ] = #distinct k-mers seen occ times.
+
+    Mirrors occurrenceDistribution (counter.h:209-212); occurrences are
+    clipped to MAX_OCCURRENCE like the saturating u16 counter.
+    """
+    occ = jnp.clip(counts, 0, MAX_OCCURRENCE).astype(jnp.int32)
+    return jnp.zeros((MAX_OCCURRENCE + 1,), jnp.int64 if jax.config.jax_enable_x64
+                     else jnp.int32).at[occ].add(jnp.where(counts > 0, 1, 0))
+
+
+def left_local_minimal_value(hist: np.ndarray, window_size: int = 1) -> int:
+    """First local minimum of the smoothed occurrence histogram.
+
+    Exact port of semantics in getLeftLocalMinimalValue (counter.h:243-266):
+    slide a `window_size` sum from occ=1 upward and stop at the first
+    non-decrease; the coverage cutoff follows assemble.cpp:319.
+    """
+    hist = np.asarray(hist)
+    max_occ = int(np.max(np.nonzero(hist)[0])) if hist.any() else 0
+    if max_occ <= window_size:
+        return 0
+    window_vector_size = max_occ - window_size + 2
+    window = np.zeros(window_vector_size, dtype=np.uint64)
+    for i in range(window_size):
+        window[1] += hist[1 + i]
+    i = 2
+    while i < window_vector_size:
+        window[i] = window[i - 1] - hist[i - 1] + hist[i + window_size - 1]
+        if window[i] >= window[i - 1]:
+            break
+        i += 1
+    if i <= max_occ:
+        return i - 1 + window_size // 2
+    return 1 + window_size // 2
+
+
+def coverage_cutoff(hist: np.ndarray, manual: int = 0, repeat_mode: bool = False,
+                    window_size: int = 1) -> int:
+    """assemble.cpp:319-321: -n override, else max(localMin/2, 2)
+    (or max(localMin, 2) in repeat mode)."""
+    if manual:
+        return int(manual)
+    lm = left_local_minimal_value(hist, window_size)
+    return max(lm if repeat_mode else lm // 2, 2)
+
+
+def distribution_average(hist: np.ndarray, start: int, end: int) -> float:
+    """calcDistributionAverage (counter.h:219-237): mean occurrence of
+    distinct k-mers in [start, end]."""
+    hist = np.asarray(hist, dtype=np.float64)
+    end = min(end, len(hist) - 1)
+    idx = np.arange(start, end + 1)
+    num = float(hist[start:end + 1].sum())
+    if num == 0:
+        raise ValueError("empty k-mer distribution range")
+    return float((idx * hist[start:end + 1]).sum() / num)
+
+
+def write_occurrence_tsv(path: str, hist: np.ndarray) -> None:
+    """PREFIX_<k>merFrq.tsv (counter.h:999-1007 outputOccurrenceDistribution)."""
+    hist = np.asarray(hist)
+    max_occ = int(np.max(np.nonzero(hist)[0])) if hist.any() else 0
+    with open(path, "w") as f:
+        for occ in range(1, max_occ + 1):
+            f.write(f"{occ}\t{int(hist[occ])}\n")
+
+
+def write_occurrence_table_binary(path: str, keys: np.ndarray,
+                                  counts: np.ndarray, k: int) -> None:
+    """out_kmer_occ.bin-compatible export.
+
+    Format mirrors outputOccurrenceTableBinary (counter.h:955-963) +
+    writeTable (doubleHash.h:266-280): u64 kmer length, then sparse
+    {u64 index, key words, u16 value} records. Our "index" is the rank in
+    the sorted table (the reader, kmer_divide, only round-trips it).
+    """
+    keys = np.asarray(keys)
+    counts = np.asarray(counts)
+    with open(path, "wb") as f:
+        f.write(np.uint64(k).tobytes())
+        f.write(np.uint64(len(keys)).tobytes())
+        f.write(np.uint64(keys.shape[1] if keys.ndim > 1 else 1).tobytes())
+        f.write(np.arange(len(keys), dtype=np.uint64).tobytes())
+        f.write(keys.astype(np.uint32).tobytes())
+        f.write(np.clip(counts, 0, 0xFFFF).astype(np.uint16).tobytes())
+
+
+def read_occurrence_table_binary(path: str):
+    """Inverse of write_occurrence_table_binary; returns (k, keys, counts)."""
+    with open(path, "rb") as f:
+        k = int(np.frombuffer(f.read(8), np.uint64)[0])
+        n = int(np.frombuffer(f.read(8), np.uint64)[0])
+        w = int(np.frombuffer(f.read(8), np.uint64)[0])
+        _idx = np.frombuffer(f.read(8 * n), np.uint64)
+        keys = np.frombuffer(f.read(4 * n * w), np.uint32).reshape(n, w)
+        counts = np.frombuffer(f.read(2 * n), np.uint16).astype(np.uint32)
+    return k, keys, counts
