@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .multiword import mw_eq, mw_le
+from .multiword import mw_eq, mw_le, mw_lt
 
 
 @jax.jit
@@ -76,3 +76,39 @@ def lookup(table: jnp.ndarray, queries: jnp.ndarray,
 def contains(table: jnp.ndarray, queries: jnp.ndarray,
              table_len=None) -> jnp.ndarray:
     return lookup(table, queries, table_len) >= 0
+
+
+@jax.jit
+def _upper_bound(table: jnp.ndarray, queries: jnp.ndarray,
+                 table_len: jnp.ndarray):
+    n = table.shape[0]
+    m = queries.shape[0]
+    steps = max(1, math.ceil(math.log2(n + 1)))
+    lo = jnp.zeros((m,), jnp.int32)
+    hi = jnp.broadcast_to(table_len.astype(jnp.int32), (m,))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        rows = table[jnp.clip(mid, 0, n - 1)]
+        q_lt = mw_lt(queries, rows)  # query < table[mid]
+        hi = jnp.where(q_lt, mid, hi)
+        lo = jnp.where(q_lt, lo, mid + 1)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+@jax.jit
+def lookup_range_jit(table: jnp.ndarray, queries: jnp.ndarray,
+                     table_len: jnp.ndarray):
+    """[lo, hi) slice of a sorted-with-duplicates table equal to each query.
+
+    The CSR-range analog of the reference's MapPointer{num, position*}
+    buckets (mapper.cpp:56-148): the index IS the sorted key list; a key's
+    postings are the contiguous run between its lower and upper bound.
+    """
+    lo = _lower_bound(table, queries, table_len)
+    hi = _upper_bound(table, queries, table_len)
+    return lo, hi
