@@ -86,7 +86,14 @@ def main(argv: list[str] | None = None) -> int:
              f"(Platanus_B {REFERENCE_VERSION} capabilities)")
     LOG.info("Command: " + " ".join(argv))
     parser = build_parser()
+    from .libparse import extract_library_args
+    try:
+        argv, libspecs = extract_library_args(argv)
+    except PlatanusError as e:
+        LOG.info(f"ERROR({e.exit_id}): {e.message}")
+        return e.exit_id
     args = parser.parse_args(argv)
+    args.libspecs = libspecs
     try:
         rc = args.func(args)
     except PlatanusError as e:
