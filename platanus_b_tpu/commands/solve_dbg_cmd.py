@@ -1,0 +1,253 @@
+"""`solve_dbg` command: PE-link consensus scaffolding (+ divide/combine).
+
+Re-design of SolveDBG (solveDBG.cpp). Round-1 scope: the `-unphase`
+consensus path used by `iterate` (solveDBG.cpp:209-228 + extendConsensus
+:1177-1432), with these documented simplifications:
+- overlap-join of unambiguous contig chains replaces the OVERLAP_MODE
+  joinUnambiguousNodePairIterative pass;
+- cross-structure resolution (solveSimpleCrossStructure*) and base-level
+  erroneous-node division are deferred (phasing-oriented; the consensus
+  scaffolding block below dominates isolated-genome output);
+- tag (10x) libraries are not consumed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..io import fasta as fa
+from ..models import seqlib
+from ..models.mapper import ContigIndex
+from ..models.scaffold import (MAX_TOL_FACTOR, MIN_TOL_FACTOR, ScaffoldGraph,
+                               mark_redundant_result_seq)
+from ..utils.errors import ArgError, IOError_
+from ..utils.log import LOG
+
+
+def add_parser(sub) -> None:
+    p = sub.add_parser("solve_dbg", help="resolve graph structures and scaffold")
+    p.add_argument("-o", default="out", help="output prefix")
+    p.add_argument("-c", nargs="+", default=[], help="contig FASTA files")
+    p.add_argument("-b", nargs="+", default=[], help="bubble FASTA files")
+    p.add_argument("-p", nargs="+", default=[], help="PacBio long reads")
+    p.add_argument("-ont", nargs="+", default=[], help="ONT long reads")
+    p.add_argument("-gc", nargs="+", default=[], help="guide contigs")
+    p.add_argument("-s", nargs="+", type=int, default=[32],
+                   help="mapping seed lengths")
+    p.add_argument("-l", type=int, default=3, help="min links to scaffold")
+    p.add_argument("-k", type=int, default=1, help="min links to phase")
+    p.add_argument("-v", type=int, default=32, help="min overlap for scaffolding")
+    p.add_argument("-u", type=float, default=0.0, help="bubble threshold")
+    p.add_argument("-e", type=float, default=0.0, help="coverage depth (0=auto)")
+    p.add_argument("-t", type=int, default=1, help="threads (parity)")
+    p.add_argument("-tmp", default=".", help="tmp dir (parity)")
+    p.add_argument("-unphase", action="store_true", help="consensus mode")
+    p.add_argument("-combine", action="store_true", help="combine mode")
+    p.add_argument("-divide_only", action="store_true", help="divide mode")
+    p.add_argument("-reduce_redundancy", action="store_true",
+                   help="drop contained output sequences")
+    p.add_argument("-trim_overlap", action="store_true",
+                   help="trim overlapping scaffold edges")
+    p.add_argument("-no_scaffold", action="store_true")
+    p.set_defaults(func=run)
+
+
+def load_contigs(paths: list[str]):
+    names, seqs, covs = [], [], []
+    read_len, max_k = 0, 0
+    for path in paths:
+        if not os.path.exists(path):
+            raise IOError_(f"cannot open file: {path}")
+        for name, s in fa.iter_fasta(path):
+            names.append(name)
+            seqs.append(fa.seq_to_codes(s))
+            covs.append(fa.parse_cov(name))
+            if read_len == 0:
+                read_len = fa.parse_read_length(name)
+                max_k = fa.parse_max_k(name)
+    return names, seqs, np.array(covs, np.float64), read_len, max_k
+
+
+def join_unambiguous_overlaps(graph: ScaffoldGraph) -> None:
+    """Overlap-chain join (simplified joinUnambiguousNodePair in
+    OVERLAP_MODE, pairedDBG.cpp:1331-1431): merge node pairs connected by a
+    contig-end overlap that is unique on both sides."""
+    # oriented ends: key (node_id signed as 'extends right end of id')
+    out_deg: dict[int, list] = {}
+    for (a, b), ov in graph.overlap_table.items():
+        if ov < graph.min_overlap:
+            continue
+        out_deg.setdefault(a, []).append((b, ov))      # a's right -> b's left
+        out_deg.setdefault(-b, []).append((-a, ov))    # reverse strand
+    nxt = {}
+    for a, lst in out_deg.items():
+        if len(lst) != 1:
+            continue
+        b, ov = lst[0]
+        back = out_deg.get(-b, [])
+        if len(back) == 1:
+            nxt[a] = (b, ov)
+
+    used = np.zeros(graph.num_contig, dtype=bool)
+    chains = []
+    for start in list(nxt):
+        if used[abs(start) - 1]:
+            continue
+        # walk left to the chain head
+        cur = start
+        seen = {abs(cur)}
+        while -cur in nxt:
+            prv, _ = nxt[-cur]
+            prv = -prv
+            if abs(prv) in seen:
+                break  # cycle
+            cur = prv
+            seen.add(abs(cur))
+        chain = [(cur, 0)]
+        seen = {abs(cur)}
+        while cur in nxt:
+            b, ov = nxt[cur]
+            if abs(b) in seen:
+                break
+            chain.append((b, ov))
+            seen.add(abs(b))
+            cur = b
+        if len(chain) > 1 and not any(used[abs(c) - 1] for c, _ in chain):
+            for c, _ in chain:
+                used[abs(c) - 1] = True
+            chains.append(chain)
+
+    if not chains:
+        return
+    new_nodes = []
+    for i in range(graph.num_contig):
+        if not used[i]:
+            new_nodes.append(list(graph.node[i].contigs))
+    for chain in chains:
+        parts = []
+        pos = 0
+        for cid, ov in chain:
+            ln = len(graph.contig[abs(cid) - 1])
+            pos -= ov
+            parts.append((cid, pos, pos + ln))
+            pos += ln
+        new_nodes.append(parts)
+    graph._remake(new_nodes)
+    LOG.counter("NUM_JOINED_CHAINS", len(chains))
+
+
+def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
+                min_link: int = 3, min_overlap_scaf: int = 32,
+                seed_lengths=(32,), reduce_redundancy: bool = False,
+                trim_overlap: bool = False, long_read_paths=()):
+    names, seqs, covs, read_len, max_k = load_contigs(contig_paths)
+    if not seqs:
+        raise ArgError("solve_dbg: empty contig input")
+    lens = np.array([len(s) for s in seqs], dtype=np.float64)
+    avg_cov = float((covs * lens).sum() / max(lens.sum(), 1.0))
+    LOG.counter("CONTIG_AVERAGE_COVERAGE", avg_cov)
+
+    from .libparse import load_libraries
+    libs = load_libraries(libspecs) if libspecs else []
+
+    index = ContigIndex(seqs, key_length=32)
+    graph = ScaffoldGraph(seqs, covs, names,
+                          min_overlap=max_k - 1, hash_overlap=max_k - 1,
+                          seed_length=min(seed_lengths))
+    graph.average_coverage = avg_cov
+    graph.min_link = min_link
+    graph.save_overlap(index, cutoff_length=max_k)
+
+    # map libraries once on contigs; positions are lifted per round
+    mapped = []
+    prev_ins = 0
+    for li, lib in enumerate(libs):
+        LOG.info(f"[LIBRARY {li + 1}]")
+        mp = seqlib.map_pairs(index, lib, seed_lengths=tuple(seed_lengths))
+        if len(mp.insert_lengths):
+            dist = seqlib.insert_distribution(mp.insert_lengths)
+            avg, sd = seqlib.estimate_ins_size(dist, min_peak_threshold=prev_ins)
+            lib.average_insert, lib.sd_insert = avg, sd
+            prev_ins = avg
+            seqlib.write_insert_freq_tsv(f"{out_prefix}_lib{li + 1}_insFreq.tsv",
+                                         mp.insert_lengths)
+        mapped.append(mp)
+
+    join_unambiguous_overlaps(graph)
+
+    # consensus scaffolding rounds (extendConsensus scaffolding block,
+    # solveDBG.cpp:1338-1372)
+    graph.min_overlap = min_overlap_scaf
+    for outer in range(2):
+        for iteration in range(2):
+            for li, lib in enumerate(libs):
+                graph.lib = lib
+                graph.pairs = mapped[li]
+                LOG.info(f"[LIBRARY {li + 1}] AVE_INS = {lib.average_insert}, "
+                         f"SD_INS = {lib.sd_insert}")
+                for tf in range(MIN_TOL_FACTOR, MAX_TOL_FACTOR + 1):
+                    graph.tolerence = int(tf * lib.sd_insert)
+                    graph.min_link = 1
+                    LOG.counter("TOLERENCE_LEVEL_OF_CONTIG_OVERLAP",
+                                graph.tolerence)
+                    graph.make_graph()
+                    if iteration == 0:
+                        graph.delete_thin_edge(max(min_link,
+                                                   graph.estimate_link()))
+                    else:
+                        graph.delete_thin_edge(min_link)
+                    graph.delete_erroneous_edge_iterative()
+                    if iteration > 0:
+                        graph.min_link = min_link
+                        graph.delete_repeat_edge()
+                    graph.detect_repeat(graph.average_coverage)
+                    graph.make_scaffold()
+    graph.min_overlap = max_k - 1
+
+    if libs:
+        graph.tolerence = int(MAX_TOL_FACTOR * libs[-1].sd_insert)
+    else:
+        graph.tolerence = max_k
+    results = graph.load_result_seq(max_k, read_len, max_k, trim_overlap)
+    if reduce_redundancy:
+        mark_redundant_result_seq(results)
+    return results, graph
+
+
+def write_results(results, out_prefix: str, suffix: str, comp_suffix: str):
+    recs = [(r.name, fa.codes_to_seq(r.seq)) for r in results
+            if not r.redundant]
+    fa.write_fasta(out_prefix + suffix, recs)
+    with open(out_prefix + comp_suffix, "w") as f:
+        for r in results:
+            if not r.redundant:
+                f.write(r.component)
+    return len(recs)
+
+
+def run(args) -> int:
+    if not args.c:
+        raise ArgError("solve_dbg: no contig file given (-c)")
+    if args.unphase or not (args.combine or args.divide_only):
+        results, _g = run_unphase(
+            args.c, getattr(args, "libspecs", []), args.o,
+            min_link=args.l, min_overlap_scaf=args.v,
+            seed_lengths=tuple(args.s),
+            reduce_redundancy=args.reduce_redundancy,
+            trim_overlap=args.trim_overlap,
+            long_read_paths=tuple(args.p) + tuple(args.ont))
+        n = write_results(results, args.o, "_consensusScaffold.fa",
+                          "_consensusScaffoldComponent.bed")
+        LOG.counter("NUM_OUTPUT_SEQ", n)
+        LOG.info("solve_DBG completed!")
+        LOG.report_memory()
+        return 0
+    if args.divide_only:
+        from .divide_impl import run_divide_only
+        return run_divide_only(args)
+    if args.combine:
+        from .combine_impl import run_combine
+        return run_combine(args)
+    return 0

@@ -1,0 +1,759 @@
+"""Scaffold graph: PE-link scaffolding of contigs (consensus path).
+
+Re-design of ScaffoldGraph / the PairedDBG subset used by
+`solve_DBG -unphase` (scaffoldGraph.h:37-447, scaffoldGraph.cpp,
+pairedDBG.cpp). The graph is small (thousands of nodes), so graph
+manipulation is host-side Python/numpy — the idiomatic TPU split puts only
+read mapping and overlap detection on device (models.mapper).
+
+Implemented behaviors (with reference cites):
+- contig-end overlap table         <- saveOverlap (scaffoldGraph.cpp:90-254)
+                                      + getShortOverlap (:284-325)
+- link store/lift to node coords   <- storeGraphLinkFromMappedPair (:444-520)
+- link aggregation + gap estimate  <- calcLink/estimateGapSizeAverage (:718-864)
+- graph build                      <- makeGraph (:866-923)
+- edge cleaning                    <- deleteThinEdge (:953-978, Gaussian
+                                      expected-link model scaffoldGraph.h:453-474),
+                                      deleteErroneousEdge(Iterative) (:1004-1146),
+                                      deleteRepeatEdge (:1148-1190)
+- repeat detection                 <- detectRepeat (:1194-1231)
+- greedy scaffolding + remake      <- makeScaffold (:1370-1573), remake (:1579)
+- sequence output                  <- loadResultSeq (pairedDBG.cpp:2048-2230)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.log import LOG
+from .mapper import ContigIndex
+from .seqlib import MappedPairs, PairLibrary
+
+# scaffoldGraph.cpp:39-40
+EDGE_EXPECTED_RATE_TH = 0.5
+EDGE_EXPECTED_RATE_UPPER_TH = 4.0
+# node state flags (scaffoldGraph.cpp)
+SC_INC = 0x1
+SC_REP = 0x2
+SC_DEL = 0x4
+# scaffold.cpp:42-43 (solveDBG inherits)
+MIN_TOL_FACTOR = 2
+MAX_TOL_FACTOR = 2
+# loadResultSeq (pairedDBG.cpp:2050-2051)
+MIN_GAP_LENGTH = 10
+MIN_OVERLAP_TO_JOIN = 32
+
+
+@dataclass
+class GraphEdge:
+    direction: int   # +1: extends node's right end; -1: left end
+    end: int         # signed neighbor node id (1-based)
+    length: int      # estimated gap
+    num_link: int
+    breakdown: np.ndarray | None = None  # per-contig link counts of the node
+    score: int = 0
+
+
+@dataclass
+class GraphNode:
+    length: int
+    contigs: list              # [(signed contig id 1-based, start, end)]
+    edges: list = field(default_factory=list)
+    state: int = 0
+
+
+@dataclass
+class ResultSeq:
+    seq: np.ndarray
+    name: str
+    component: str
+    redundant: bool = False
+
+
+class ScaffoldGraph:
+    def __init__(self, contigs: list[np.ndarray], coverages: np.ndarray,
+                 names: list[str] | None = None, min_overlap: int = 31,
+                 hash_overlap: int = 32, seed_length: int = 32):
+        self.contig = [np.asarray(c, np.uint8) for c in contigs]
+        self.coverage = np.asarray(coverages, np.float64)
+        self.names = names or [f"contig{i+1}" for i in range(len(contigs))]
+        self.num_contig = len(contigs)
+        self.min_overlap = min_overlap
+        self.hash_overlap = hash_overlap
+        self.seed_length = seed_length
+        self.tolerence = 0
+        self.min_link = 3
+        lens = np.array([len(c) for c in self.contig], dtype=np.float64)
+        tot = max(lens.sum(), 1.0)
+        self.average_coverage = float((self.coverage * lens).sum() / tot)
+        # one node per contig initially (initScaffolding)
+        self.node: list[GraphNode] = [
+            GraphNode(length=len(c), contigs=[(i + 1, 0, len(c))])
+            for i, c in enumerate(self.contig)]
+        # contigPositionInScaffold: (signed node id, index in node), id 0 =
+        # excluded (repeat-divided)
+        self.contig_pos_id = np.arange(1, self.num_contig + 1, dtype=np.int64)
+        self.contig_pos_off = np.zeros(self.num_contig, dtype=np.int64)
+        self.overlap_table: dict[tuple[int, int], int] = {}
+        # per-library state set by the driver
+        self.lib: PairLibrary | None = None
+        self.pairs: MappedPairs | None = None
+
+    # -- node coverage (calcNodeCoverage: length-weighted contig coverage) --
+    def node_coverage(self, n: GraphNode) -> float:
+        s = 0.0
+        ln = 0
+        for cid, st, ed in n.contigs:
+            i = abs(cid) - 1
+            s += self.coverage[i] * len(self.contig[i])
+            ln += len(self.contig[i])
+        return s / max(ln, 1)
+
+    # ------------------------------------------------------------------
+    # overlap table (saveOverlap, scaffoldGraph.cpp:90-254)
+    # ------------------------------------------------------------------
+    def save_overlap(self, index: ContigIndex, cutoff_length: int) -> None:
+        LOG.info(f"saving overlaps... (LEN_CUTOFF={cutoff_length})")
+        key = index.key_length
+        kt, kp = index.key_table, index.key_pos
+        tl = index.table_len
+        W = kt.shape[1]
+        if tl == 0:
+            return
+        packed = _pack64(kt[:tl])
+
+        def postings(codes: np.ndarray):
+            """mapSeed: postings for fwd key + rev-complement key, signed."""
+            out = []
+            for sign, q in ((1, codes), (-1, _rc_np(codes))):
+                pk = _pack64_row(_codes_to_key(q, W))
+                lo = np.searchsorted(packed, pk, side="left")
+                hi = np.searchsorted(packed, pk, side="right")
+                for t in range(lo, hi):
+                    gpos = int(kp[t])
+                    cid = int(np.searchsorted(index.starts, gpos,
+                                              side="right")) - 1
+                    out.append((sign * (cid + 1), gpos - int(index.starts[cid])))
+            return out
+
+        for i, c in enumerate(self.contig):
+            if len(c) < cutoff_length or len(c) < key:
+                continue
+            left = c[:key]
+            right = c[len(c) - key:]
+            if not (left > 3).any():
+                self._overlap_from_end(i, left, postings(left), is_left=True,
+                                       cutoff_length=cutoff_length)
+            if not (right > 3).any():
+                self._overlap_from_end(i, right, postings(right), is_left=False,
+                                       cutoff_length=cutoff_length)
+
+    def _overlap_from_end(self, i, kmer, posts, is_left, cutoff_length):
+        key = len(kmer)
+        c = self.contig[i]
+        for pid, off in posts:
+            j = abs(pid) - 1
+            # avoid double counting i<->j and self-mapping
+            # (scaffoldGraph.cpp:143-145,218-220: skip abs(id)-1 <= i)
+            if j <= i:
+                continue
+            t = self.contig[j]
+            if len(t) < cutoff_length:
+                continue
+            if is_left:
+                # contig i's LEFT end extends backwards into t
+                if pid > 0:
+                    ov = len(t) - off
+                    if not (self.min_overlap <= ov <= len(c)):
+                        continue
+                    if ov > key and not np.array_equal(c[key:ov],
+                                                       t[off + key: off + ov]):
+                        continue
+                else:
+                    ov = off + key
+                    if not (self.min_overlap <= ov <= len(c)):
+                        continue
+                    seg = t[off + key - ov: off][::-1]
+                    if ov > key and not np.array_equal(c[key:ov],
+                                                       np.where(seg < 4, 3 - seg, seg)):
+                        continue
+                self.overlap_table[(-(i + 1), -pid)] = max(
+                    self.overlap_table.get((-(i + 1), -pid), 0), ov)
+            else:
+                if pid > 0:
+                    ov = off + key
+                    if not (self.min_overlap <= ov <= len(c)):
+                        continue
+                    if ov > key and not np.array_equal(
+                            c[len(c) - ov: len(c) - key], t[off - (ov - key): off]):
+                        continue
+                else:
+                    ov = len(t) - off
+                    if not (self.min_overlap <= ov <= len(c)):
+                        continue
+                    seg = t[off + key: off + ov][::-1]
+                    if ov > key and not np.array_equal(
+                            c[len(c) - ov: len(c) - key],
+                            np.where(seg < 4, 3 - seg, seg)):
+                        continue
+                self.overlap_table[(i + 1, pid)] = max(
+                    self.overlap_table.get((i + 1, pid), 0), ov)
+
+    def get_overlap(self, id1: int, id2: int) -> int:
+        """getOverlap (scaffoldGraph.cpp:254-278) on CONTIG ids."""
+        if abs(id1) > abs(id2):
+            id1, id2 = -id2, -id1
+        v = self.overlap_table.get((id1, id2))
+        if v is not None:
+            return v
+        return self._short_overlap(id1, id2)
+
+    def _short_overlap(self, id1: int, id2: int) -> int:
+        """getShortOverlap (scaffoldGraph.cpp:284-325): exact suffix(id1)/
+        prefix(id2) overlaps of length hash_overlap..min_overlap."""
+        c1 = self.contig[abs(id1) - 1]
+        c2 = self.contig[abs(id2) - 1]
+        s1 = c1 if id1 > 0 else _rc_np(c1)
+        s2 = c2 if id2 > 0 else _rc_np(c2)
+        top = min(self.hash_overlap, len(s1), len(s2))
+        for ov in range(top, self.min_overlap - 1, -1):
+            a = s1[len(s1) - ov:]
+            b = s2[:ov]
+            if (a < 4).all() and np.array_equal(a, b):
+                return ov
+        return 0
+
+    def scaffold_overlap(self, id1: int, id2: int) -> int:
+        """getScaffoldOverlap (scaffoldGraph.cpp:344-356): map node ids to
+        their terminal contig ids."""
+        n1 = self.node[abs(id1) - 1]
+        n2 = self.node[abs(id2) - 1]
+        e1 = n1.contigs[-1][0] if id1 > 0 else -n1.contigs[0][0]
+        e2 = n2.contigs[0][0] if id2 > 0 else -n2.contigs[-1][0]
+        return self.get_overlap(e1, e2)
+
+    # ------------------------------------------------------------------
+    # links (storeGraphLinkFromMappedPair + calcLink)
+    # ------------------------------------------------------------------
+    def store_links(self) -> np.ndarray:
+        """Lift cross-contig pair records to node coords, emit raw links
+        as an (N, 5) array [id1, off1, id2, off2, gap]."""
+        mp = self.pairs
+        lib = self.lib
+        cutoff = max(self.tolerence, self.seed_length) * 2
+        fid, foff = mp.link_fwd_id.copy(), mp.link_fwd_off.copy()
+        rid, roff = mp.link_rev_id.copy(), mp.link_rev_off.copy()
+
+        out = []
+        node_len = np.array([n.length for n in self.node], dtype=np.int64)
+        for k in range(len(fid)):
+            rec = []
+            ok = True
+            for cid, off in ((fid[k], foff[k]), (rid[k], roff[k])):
+                ci = abs(cid) - 1
+                nid = self.contig_pos_id[ci]
+                if nid == 0:
+                    ok = False
+                    break
+                sid = nid if cid > 0 else -nid
+                o = off if nid > 0 else len(self.contig[ci]) - off - 1
+                n = self.node[abs(sid) - 1]
+                _c, cst, _ce = n.contigs[self.contig_pos_off[ci]]
+                rec.append((int(sid), int(o + cst), int(self.contig_pos_off[ci])))
+            if not ok:
+                continue
+            (f_id, f_off, f_ci), (r_id, r_off, r_ci) = rec
+            if abs(f_id) == abs(r_id):
+                continue
+            if (node_len[abs(f_id) - 1] < cutoff
+                    or node_len[abs(r_id) - 1] < cutoff):
+                continue
+            gap = int(lib.average_insert)
+            gap -= (node_len[f_id - 1] - f_off) if f_id > 0 else (f_off + 1)
+            gap -= (node_len[r_id - 1] - r_off) if r_id > 0 else (r_off + 1)
+            if abs(f_id) < abs(r_id):
+                id1, off1, id2, off2 = f_id, f_ci, -r_id, r_ci
+            else:
+                id1, off1, id2, off2 = r_id, r_ci, -f_id, f_ci
+            if -gap > self.tolerence + self.scaffold_overlap(id1, id2):
+                continue
+            out.append((id1, off1, id2, off2, gap))
+        return np.array(out, dtype=np.int64).reshape(-1, 5)
+
+    def make_graph(self) -> None:
+        """calcLink + makeGraph (scaffoldGraph.cpp:718-923)."""
+        LOG.info("linking scaffolds...")
+        links = self.store_links()
+        for n in self.node:
+            n.edges = []
+        if len(links) == 0:
+            return
+        order = np.lexsort((links[:, 4], links[:, 2], links[:, 0]))
+        links = links[order]
+        keys = links[:, [0, 2]]
+        new_grp = np.ones(len(links), dtype=bool)
+        new_grp[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+        starts = np.nonzero(new_grp)[0]
+        ends = np.append(starts[1:], len(links))
+        LOG.info("estimating contig distances...")
+        for s, e in zip(starts, ends):
+            if e - s < self.min_link:
+                continue
+            id1, id2 = int(links[s, 0]), int(links[s, 2])
+            gap = int(math.floor(links[s:e, 4].mean() + 0.5))
+            num_link = int(e - s)
+            i, j = abs(id1) - 1, abs(id2) - 1
+            bd1 = np.zeros(len(self.node[i].contigs), dtype=np.int64)
+            bd2 = np.zeros(len(self.node[j].contigs), dtype=np.int64)
+            np.add.at(bd1, links[s:e, 1], 1)
+            np.add.at(bd2, links[s:e, 3], 1)
+            d1 = 1 if id1 > 0 else -1
+            d2 = 1 if -id2 > 0 else -1
+            end1 = (j + 1) if id1 * id2 > 0 else -(j + 1)
+            end2 = (i + 1) if id1 * id2 > 0 else -(i + 1)
+            self.node[i].edges.append(GraphEdge(d1, end1, gap, num_link, bd1))
+            self.node[j].edges.append(GraphEdge(d2, end2, gap, num_link, bd2))
+        for n in self.node:
+            n.edges.sort(key=lambda e: (e.direction, e.end))
+
+    # ------------------------------------------------------------------
+    # expected links + edge cleaning
+    # ------------------------------------------------------------------
+    def calc_expected_link(self, coverage, len1, len2, g) -> float:
+        """calcExpectedLink (scaffoldGraph.h:453-474)."""
+        ins = float(self.lib.average_insert)
+        sd = max(float(self.lib.sd_insert), 1e-9)
+        av = max(float(self.lib.average_length), 1.0)
+        s2 = math.sqrt(2.0) * sd
+
+        def term(x):
+            return x * math.erf(x / s2) + (s2 / math.sqrt(math.pi)) * math.exp(-(x / s2) ** 2)
+
+        n = (term(len1 + g - ins + len2) - term(av + g - ins + len2)
+             - term(len1 + g - ins + av) + term(av + g - ins + av))
+        return n * coverage / (4.0 * av)
+
+    def estimate_link(self) -> int:
+        """estimateLink (scaffoldGraph.cpp:331-338)."""
+        mean_len = sum(len(c) for c in self.contig) / max(self.num_contig, 1)
+        g = float(self.lib.average_insert) - 2.0 * float(self.lib.average_length)
+        return int(max(1.0, self.calc_expected_link(
+            self.average_coverage, mean_len, mean_len, g)))
+
+    def _check_delete_edge(self, e1: GraphEdge, e2: GraphEdge,
+                           n1: GraphNode, n2: GraphNode) -> bool:
+        """checkDeleteEdge (scaffoldGraph.cpp:928-950): true when e1/e2 are
+        same-direction alternatives that cannot coexist in one layout."""
+        if (e1.direction * e2.direction < 0
+                or e1.length + n1.length <= e2.length
+                or e2.length + n2.length <= e1.length):
+            return False
+        if e1.direction > 0:
+            a, b = e1.end, e2.end
+        else:
+            a, b = e2.end, e1.end
+        if (abs(e1.length + n1.length - e2.length)
+                <= self.tolerence + self.scaffold_overlap(a, b)
+                or abs(e2.length + n2.length - e1.length)
+                <= self.tolerence + self.scaffold_overlap(b, a)):
+            return False
+        return True
+
+    def delete_edges(self, ids: list[tuple[int, int]]) -> None:
+        for id1, id2 in ids:
+            if id2 == 0:
+                continue
+            n = self.node[id1 - 1]
+            n.edges = [e for e in n.edges if e.end != id2]
+            # reciprocal edge (deleteEdges, scaffoldGraph.cpp:1236-1280):
+            # same-sign pair -> ends at +id1, opposite-sign -> -id1
+            m = self.node[abs(id2) - 1]
+            recip = id1 if id2 > 0 else -id1
+            m.edges = [e for e in m.edges if e.end != recip]
+
+    def delete_thin_edge(self, link_threshold: int) -> None:
+        """deleteThinEdge (scaffoldGraph.cpp:953-978)."""
+        LOG.info(f"removing thin edges (NUM_LINK < min({link_threshold}, "
+                 "EXPECTED_NUM_LINK)) ...")
+        ids = []
+        for ni, n1 in enumerate(self.node):
+            for e in n1.edges:
+                n2 = self.node[abs(e.end) - 1]
+                cov1 = (self.lib.average_coverage * self.node_coverage(n1)
+                        / max(self.average_coverage, 1e-9))
+                cov2 = (self.lib.average_coverage * self.node_coverage(n2)
+                        / max(self.average_coverage, 1e-9))
+                exp = int(self.calc_expected_link(
+                    min(cov1, cov2), n1.length, n2.length,
+                    max(float(self.lib.average_insert), 0.0)) + 0.5)
+                if e.num_link < min(link_threshold, exp):
+                    ids.append((ni + 1, e.end))
+        LOG.counter("TOTAL_NUM_DELETE", len(ids))
+        self.delete_edges(ids)
+
+    def delete_erroneous_edge(self) -> int:
+        """deleteErroneousEdge (scaffoldGraph.cpp:1004-1049)."""
+        ids = []
+        for ni, n in enumerate(self.node):
+            for a in range(len(n.edges) - 1):
+                for b in range(a + 1, len(n.edges)):
+                    e1, e2 = n.edges[a], n.edges[b]
+                    n1 = self.node[abs(e1.end) - 1]
+                    n2 = self.node[abs(e2.end) - 1]
+                    if not self._check_delete_edge(e1, e2, n1, n2):
+                        continue
+                    r1 = e1.num_link / max(1.0, self.calc_expected_link(
+                        self.lib.average_coverage, n.length, n1.length,
+                        e1.length))
+                    if r1 > EDGE_EXPECTED_RATE_UPPER_TH:
+                        continue
+                    r2 = e2.num_link / max(1.0, self.calc_expected_link(
+                        self.lib.average_coverage, n.length, n2.length,
+                        e2.length))
+                    if r2 > EDGE_EXPECTED_RATE_UPPER_TH:
+                        continue
+                    if e1.num_link < e2.num_link and r1 / max(r2, 1e-12) <= EDGE_EXPECTED_RATE_TH:
+                        ids.append((ni + 1, e1.end))
+                    elif e2.num_link < e1.num_link and r2 / max(r1, 1e-12) <= EDGE_EXPECTED_RATE_TH:
+                        ids.append((ni + 1, e2.end))
+        self.delete_edges(ids)
+        return len(ids)
+
+    def delete_erroneous_edge_iterative(self) -> int:
+        LOG.info("removing erroneous edges...")
+        total = 0
+        while True:
+            n = self.delete_erroneous_edge()
+            LOG.counter("NUM_REMOVED_EDGES", n)
+            if n == 0:
+                break
+            total += n
+        return total
+
+    def delete_repeat_edge(self) -> None:
+        """deleteRepeatEdge (scaffoldGraph.cpp:1148-1190): when two
+        conflicting edges both hit the same member contig, zero that
+        contig's contribution and drop it from the scaffold."""
+        for ni, n in enumerate(self.node):
+            if len(n.contigs) == 1:
+                continue
+            for a in range(len(n.edges) - 1):
+                for b in range(a + 1, len(n.edges)):
+                    e1, e2 = n.edges[a], n.edges[b]
+                    n1 = self.node[abs(e1.end) - 1]
+                    n2 = self.node[abs(e2.end) - 1]
+                    if not self._check_delete_edge(e1, e2, n1, n2):
+                        continue
+                    for m in range(len(n.contigs)):
+                        if (e1.breakdown is None or e2.breakdown is None
+                                or e1.breakdown[m] < self.min_link
+                                or e2.breakdown[m] < self.min_link):
+                            continue
+                        for e in n.edges:
+                            if e.breakdown is not None:
+                                e.num_link -= int(e.breakdown[m])
+                                e.breakdown[m] = 0
+                        self.contig_pos_id[abs(n.contigs[m][0]) - 1] = 0
+        ids = []
+        for ni, n in enumerate(self.node):
+            for e in n.edges:
+                if e.num_link < self.min_link:
+                    ids.append((ni + 1, e.end))
+        self.delete_edges(ids)
+
+    def detect_repeat(self, average_coverage: float) -> None:
+        """detectRepeat (scaffoldGraph.cpp:1194-1231)."""
+        threshold = average_coverage * 1.5
+        for n in self.node:
+            if len(n.contigs) == 1 and self.node_coverage(n) > threshold:
+                n.state |= SC_REP
+                continue
+            done = False
+            for a in range(len(n.edges) - 1):
+                if done:
+                    break
+                for b in range(a + 1, len(n.edges)):
+                    e1, e2 = n.edges[a], n.edges[b]
+                    if e1.direction * e2.direction < 0:
+                        continue
+                    n1 = self.node[abs(e1.end) - 1]
+                    if e1.length + n1.length <= e2.length:
+                        continue
+                    n2 = self.node[abs(e2.end) - 1]
+                    if e2.length + n2.length <= e1.length:
+                        continue
+                    if e1.direction > 0:
+                        a1, a2 = e1.end, e2.end
+                    else:
+                        a1, a2 = e2.end, e1.end
+                    if (abs(e1.length + n1.length - e2.length)
+                            <= self.tolerence + self.scaffold_overlap(a1, a2)
+                            or abs(e2.length + n2.length - e1.length)
+                            <= self.tolerence + self.scaffold_overlap(a2, a1)):
+                        continue
+                    n.state |= SC_REP
+                    done = True
+                    break
+
+    # ------------------------------------------------------------------
+    # scaffolding (makeScaffold + remake)
+    # ------------------------------------------------------------------
+    def make_scaffold(self) -> None:
+        LOG.info("scaffolding...")
+        new_nodes: list[list] = []  # each: list of (cid, start, end)
+        for i in range(len(self.node)):
+            if self.node[i].state & (SC_INC | SC_REP | SC_DEL):
+                continue
+            include = [[i + 1, 0, self.node[i].length, 0]]  # id, start, end, dist
+            self.node[i].state |= SC_INC
+            candidate = []
+
+            def push_candidates(lay_id, lay_start, lay_end, dist, node_ref):
+                for e in node_ref.edges:
+                    t = abs(e.end) - 1
+                    if (self.node[t].state & SC_INC) and not (self.node[t].state & SC_REP):
+                        continue
+                    if (lay_id > 0) == (e.direction > 0):
+                        st = lay_end + e.length
+                        en = st + self.node[t].length
+                    else:
+                        en = lay_start - e.length
+                        st = en - self.node[t].length
+                    cid = e.end if lay_id > 0 else -e.end
+                    candidate.append([cid, st, en, dist + 1, e.num_link])
+
+            push_candidates(i + 1, 0, self.node[i].length, 0, self.node[i])
+
+            while candidate:
+                best = 0
+                for j in range(1, len(candidate)):
+                    if (candidate[j][3] < candidate[best][3]
+                        or (candidate[j][3] == candidate[best][3]
+                            and abs(candidate[j][1]) < abs(candidate[best][1]))):
+                        best = j
+                cand = candidate.pop(best)
+                t = abs(cand[0]) - 1
+                if (self.node[t].state & SC_INC) and not (self.node[t].state & SC_REP):
+                    continue
+                ok = True
+                for inc in include:
+                    tol = min(self.tolerence,
+                              min(cand[2] - cand[1], inc[2] - inc[1]) // 2)
+                    if (cand[2] <= inc[1] or cand[1] >= inc[2]
+                            or abs(cand[1] - inc[2]) <= tol
+                            + self.scaffold_overlap(inc[0], cand[0])
+                            or abs(cand[2] - inc[1]) <= tol
+                            + self.scaffold_overlap(cand[0], inc[0])):
+                        continue
+                    ok = False
+                    break
+                if not ok:
+                    continue
+                include.append(cand)
+                nn = self.node[t]
+                if not (nn.state & SC_REP):
+                    push_candidates(cand[0], cand[1], cand[2], cand[3], nn)
+                    nn.state |= SC_INC
+
+            include.sort(key=lambda x: (x[1] + x[2]))
+            # strip repeat nodes at both ends (makeScaffold :1519-1526)
+            lo, hi = 0, len(include)
+            while lo < hi and self.node[abs(include[lo][0]) - 1].state & SC_REP:
+                lo += 1
+            while hi > lo and self.node[abs(include[hi - 1][0]) - 1].state & SC_REP:
+                hi -= 1
+            include = include[lo:hi]
+            if not include:
+                continue
+            min_start = include[0][1]
+            parts = []
+            prev = None
+            shift = 0
+            for lay in include:
+                lay[1] += shift - min_start
+                lay[2] += shift - min_start
+                t = abs(lay[0]) - 1
+                self.node[t].state |= SC_INC
+                if prev is not None and lay[1] != 0:
+                    ov = self.scaffold_overlap(prev[0], lay[0])
+                    if ov > 0 and ov + lay[1] - prev[2] <= self.tolerence:
+                        adj = prev[2] - lay[1] - ov
+                        lay[1] += adj
+                        lay[2] += adj
+                        shift += adj
+                nref = self.node[t]
+                if lay[0] > 0:
+                    for cid, cst, ced in nref.contigs:
+                        parts.append((cid, lay[1] + cst, lay[1] + ced))
+                else:
+                    for cid, cst, ced in reversed(nref.contigs):
+                        parts.append((-cid, lay[1] + nref.length - ced,
+                                      lay[1] + nref.length - cst))
+                prev = lay
+            new_nodes.append(parts)
+
+        # repeat nodes: unplaced ones stay as their own scaffolds
+        for i, n in enumerate(self.node):
+            if not (n.state & SC_REP):
+                continue
+            if n.state & SC_INC:
+                for cid, _s, _e in n.contigs:
+                    self.contig_pos_id[abs(cid) - 1] = 0
+            else:
+                new_nodes.append(list(n.contigs))
+        self._remake(new_nodes)
+
+    def _remake(self, new_nodes: list[list]) -> None:
+        """remake (scaffoldGraph.cpp:1579-1640): rebuild node/contig tables."""
+        self.node = []
+        self.contig_pos_id = np.zeros(self.num_contig, dtype=np.int64)
+        self.contig_pos_off = np.zeros(self.num_contig, dtype=np.int64)
+        for parts in new_nodes:
+            parts = sorted(parts, key=lambda p: (p[1], p[2]))
+            base = parts[0][1]
+            parts = [(cid, st - base, ed - base) for cid, st, ed in parts]
+            length = max(ed for _c, _s, ed in parts)
+            nid = len(self.node) + 1
+            self.node.append(GraphNode(length=length, contigs=parts))
+            for k, (cid, _s, _e) in enumerate(parts):
+                ci = abs(cid) - 1
+                if self.contig_pos_id[ci] != 0:
+                    self.contig_pos_id[ci] = 0  # contig in 2+ scaffolds: exclude
+                else:
+                    self.contig_pos_id[ci] = nid if cid > 0 else -nid
+                    self.contig_pos_off[ci] = k
+        LOG.counter("NUM_SCAFFOLD", len(self.node))
+
+    # ------------------------------------------------------------------
+    # output (loadResultSeq, pairedDBG.cpp:2048-2230)
+    # ------------------------------------------------------------------
+    def load_result_seq(self, min_seq_length: int, read_length: int,
+                        contig_max_k: int, trim_overlap: bool = False
+                        ) -> list[ResultSeq]:
+        default_min_overlap = self.min_overlap
+        self.min_overlap = MIN_OVERLAP_TO_JOIN
+        results: list[ResultSeq] = []
+        num_out = 0
+        for n in self.node:
+            if n.state & SC_DEL or not n.contigs:
+                continue
+            if all(self.contig_pos_id[abs(c[0]) - 1] == 0 for c in n.contigs):
+                continue
+            nc = len(n.contigs)
+            left_cut = [0] * nc
+            right_cut = [0] * nc
+            gap = [0] * nc
+            for k in range(nc - 1):
+                cid, cst, ced = n.contigs[k]
+                nid, nst, ned = n.contigs[k + 1]
+                ov = self.get_overlap(cid, nid)
+                if ced > nst:
+                    if ov > self.min_overlap:
+                        left_cut[k + 1] = ov
+                    else:
+                        gap[k] = MIN_GAP_LENGTH
+                elif nst - ced <= self.tolerence:
+                    if ov > self.min_overlap:
+                        left_cut[k + 1] = ov
+                    else:
+                        gap[k] = nst - ced
+                else:
+                    gap[k] = nst - ced
+            total = 0
+            for k in range(nc):
+                ci = abs(n.contigs[k][0]) - 1
+                total += len(self.contig[ci]) - left_cut[k] - right_cut[k] + gap[k]
+            if total < min_seq_length:
+                continue
+            segs = []
+            for k in range(nc):
+                cid = n.contigs[k][0]
+                c = self.contig[abs(cid) - 1]
+                if cid > 0:
+                    seg = c[left_cut[k]: len(c) - right_cut[k]]
+                else:
+                    seg = _rc_np(c)[left_cut[k]: len(c) - right_cut[k]]
+                segs.append(seg)
+                if gap[k] > 0:
+                    segs.append(np.full(gap[k], 4, np.uint8))
+            seq = np.concatenate(segs) if segs else np.zeros(0, np.uint8)
+            num_out += 1
+            cov = int(self.node_coverage(n) + 0.5)
+            name = (f"scaffold{num_out}_len{len(seq)}_cov{cov}"
+                    f"_read{read_length}_maxK{contig_max_k}")
+            comp_lines = []
+            pos = 0
+            for k in range(nc):
+                cid = n.contigs[k][0]
+                ci = abs(cid) - 1
+                st = pos
+                ed = st + len(self.contig[ci]) - left_cut[k] - right_cut[k]
+                strand = "+" if cid > 0 else "-"
+                comp_lines.append(f"{name}\t{st}\t{ed}\t{self.names[ci]}\t0\t{strand}")
+                pos = ed + gap[k]
+            results.append(ResultSeq(seq=seq, name=name,
+                                     component="\n".join(comp_lines) + "\n"))
+        self.min_overlap = default_min_overlap
+        return results
+
+
+def mark_redundant_result_seq(results: list[ResultSeq]) -> None:
+    """markRedundantResultSeq (pairedDBG.cpp:6266-6340): flag sequences
+    contained in a longer sequence (either strand).
+
+    Simplification (documented): containment is exact substring matching
+    rather than the reference's k-mer mapping + identity check; on
+    consensus output the contained sequences the reference flags are exact
+    or near-exact, so this keeps the dominant behavior.
+    """
+    strs = ["".join("ACGTN"[b] for b in r.seq) for r in results]
+    order = np.argsort([-len(s) for s in strs])
+    kept: list[str] = []
+    for oi in order:
+        s = strs[oi]
+        rc = s.translate(str.maketrans("ACGTN", "TGCAN"))[::-1]
+        if any(s in k or rc in k for k in kept):
+            results[oi].redundant = True
+        else:
+            kept.append(s)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _rc_np(codes: np.ndarray) -> np.ndarray:
+    out = codes[::-1].copy()
+    m = out < 4
+    out[m] = 3 - out[m]
+    return out
+
+
+def _codes_to_key(codes: np.ndarray, W: int) -> np.ndarray:
+    """Pack base codes into the (W,) uint32 big-endian key layout."""
+    val = 0
+    for c in codes:
+        val = (val << 2) | int(c & 3)
+    out = np.zeros(W, dtype=np.uint64)
+    for i in range(W - 1, -1, -1):
+        out[i] = val & 0xFFFFFFFF
+        val >>= 32
+    return out
+
+
+def _pack64(keys: np.ndarray) -> np.ndarray:
+    """(N, W<=2) uint32 keys -> sortable uint64 scalars."""
+    k = keys.astype(np.uint64)
+    if keys.shape[1] == 1:
+        return k[:, 0]
+    return (k[:, 0] << np.uint64(32)) | k[:, 1]
+
+
+def _pack64_row(key: np.ndarray) -> np.uint64:
+    k = key.astype(np.uint64)
+    if len(k) == 1:
+        return k[0]
+    return (k[0] << np.uint64(32)) | k[1]
