@@ -29,6 +29,17 @@ def add_parser(sub) -> None:
     p.set_defaults(func=run)
 
 
+def _strip_prefix(path: str, prefix: str) -> str:
+    """printSeq naming (polish.cpp:462-476): the output file name is the
+    input path with everything up to (and one separator after) the output
+    prefix removed."""
+    pos = path.find(prefix)
+    pos = pos + len(prefix) if pos >= 0 else 0
+    if pos < len(path) and not path[pos].isalnum():
+        pos += 1
+    return path[pos:].replace("/", "_")
+
+
 def run(args) -> int:
     if not args.c:
         raise ArgError("polish: not specified contig file!! (-c)")
@@ -66,15 +77,7 @@ def run(args) -> int:
 
     idx = 0
     for path, recs in file_recs:
-        base = os.path.basename(path)
-        prefix_pos = base.find(args.o)
-        if prefix_pos >= 0:
-            prefix_pos += len(args.o)
-        else:
-            prefix_pos = 0
-        if prefix_pos < len(base) and not base[prefix_pos].isalnum():
-            prefix_pos += 1
-        out_name = f"{args.o}_polished_{base[prefix_pos:]}"
+        out_name = f"{args.o}_polished_{_strip_prefix(path, args.o)}"
 
         def gen():
             nonlocal idx

@@ -1,0 +1,526 @@
+"""`gap_close`: local re-assembly of scaffold gaps.
+
+Re-design of GapClose (gapClose.h/.cpp, gapCloseDBG.h, gapCloseOLC.*):
+- gap table over N runs with 150 bp flanks      <- makeGapTable (gapClose.cpp:405-483)
+- gap-covering read collection via mate windows <- saveGapCoveringReads /
+                                                   judgePairReadMappedNearGap (:510-596)
+- per-gap dual-k DBG closer (k=20 merged into k=80, branch-cut, flank
+  match with mismatch tolerance, unique-unitig rule, partial close)
+                                                <- GapCloseDBG (gapCloseDBG.h:43-745)
+- OLC fallback (pairwise overlap, greedy consensus extension)
+                                                <- OverlapLayoutConsensus (gapCloseOLC.*)
+- gap-closed sequence generation                <- generateGapClosedSeq (:1095-1180)
+
+Gap read sets are tiny (hundreds of reads), so per-gap assembly is
+host-side numpy over packed integer k-mers; the heavy stage — mapping all
+pairs onto scaffolds — runs on device via models.mapper.
+
+Simplifications (documented): the OLC overlap test counts mismatches
+instead of banded edit distance (maxEditDistance=1 default makes these
+nearly identical); negative-length closures trim the emitted junction
+instead of re-splicing scaffold flanks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.log import LOG
+
+# gapClose.cpp:36-44
+HEAD_TAIL_SEQ_LEN = 150
+SD_RATIO_MAPPED_GAP = 3
+BRUIJN_MIN_KMER = 20
+BRUIJN_MAX_KMER = 80
+MIN_COVERAGE = 2
+MIN_OVERLAP_FOR_CIRCLE = 100
+# gapCloseDBG.h:621-625
+DBG_BUBBLE_THRESHOLD = 0.1
+DBG_BRANCH_THRESHOLD = 0.5
+MIN_GAP_LENGTH_PARTIAL = 10
+
+UNCLOSED, CLOSED, PART_CLOSED = 0, 1, 2
+
+
+@dataclass
+class Gap:
+    scaffold_id: int          # 1-based
+    start: int
+    end: int
+    head: np.ndarray          # <=150bp flank before the gap (no N)
+    tail: np.ndarray          # <=150bp flank after the gap (no N)
+    reads: list = field(default_factory=list)
+    state: int = UNCLOSED
+    closing_seq: np.ndarray | None = None
+    closing_length: int = 0
+    remained_gap: int = 0
+
+    @property
+    def length(self) -> int:
+        return self.end - self.start
+
+
+def make_gap_table(scaffolds: list[np.ndarray]) -> list[Gap]:
+    """makeGapTable (gapClose.cpp:405-483)."""
+    LOG.info("making hash table of gaps...")
+    gaps: list[Gap] = []
+    for si, s in enumerate(scaffolds):
+        isn = s == 4
+        if not isn.any():
+            continue
+        d = np.diff(isn.astype(np.int8))
+        starts = [0] if isn[0] else []
+        starts += list(np.nonzero(d == 1)[0] + 1)
+        ends = list(np.nonzero(d == -1)[0] + 1)
+        if isn[-1]:
+            ends.append(len(s))
+        for st, ed in zip(starts, ends):
+            head = s[max(st - HEAD_TAIL_SEQ_LEN, 0): st]
+            nz = np.nonzero(head == 4)[0]
+            if len(nz):
+                head = head[nz[-1] + 1:]
+            tail = s[ed: ed + HEAD_TAIL_SEQ_LEN]
+            nz = np.nonzero(tail == 4)[0]
+            if len(nz):
+                tail = tail[: nz[0]]
+            gaps.append(Gap(si + 1, int(st), int(ed), head.copy(), tail.copy()))
+    return gaps
+
+
+def collect_gap_reads(gaps: list[Gap], scaffolds, ids, offs, pair_codes,
+                      pair_lengths, avg_ins: int, tolerance: int) -> None:
+    """judgePairReadMappedNearGap (gapClose.cpp:563-596): when one end maps,
+    its (oriented) mate is assigned to every gap inside the expected mate
+    window."""
+    # gap position lookup per scaffold: array of gap ids at N positions
+    gap_at: dict[int, dict[int, int]] = {}
+    for gi, g in enumerate(gaps):
+        tbl = gap_at.setdefault(g.scaffold_id, {})
+        for p in range(g.start, g.end):
+            tbl[p] = gi
+    for k in range(len(ids)):
+        mid = int(ids[k])
+        if mid == 0:
+            continue
+        off = int(offs[k])
+        L = int(pair_lengths[k])
+        mate = pair_codes[k, :L]
+        if mid > 0:
+            sid = mid
+            s = scaffolds[sid - 1]
+            start = max(off, off + avg_ins - tolerance - L)
+            start = min(start, len(s) - 1)
+            start = max(start, 0)
+            end = min(off + avg_ins + tolerance, len(s))
+            mate = mate[::-1].copy()
+            m = mate < 4
+            mate[m] = 3 - mate[m]
+        else:
+            sid = -mid
+            s = scaffolds[sid - 1]
+            start = max(min(off, off - avg_ins - tolerance), 0)
+            end = min(off - avg_ins + tolerance + L, len(s))
+        tbl = gap_at.get(sid)
+        if tbl is None:
+            continue
+        p = start
+        while p < end:
+            if s[p] == 4:
+                gi = tbl.get(p)
+                if gi is not None:
+                    gaps[gi].reads.append(mate)
+                while p < end and s[p] == 4:
+                    p += 1
+            p += 1
+
+
+# ---------------------------------------------------------------------------
+# single-strand mini-DBG (makeBruijnGraphForGapClose, graph.h:2117-2344)
+# ---------------------------------------------------------------------------
+
+def _kmer_ints(seq: np.ndarray, k: int):
+    """Forward-strand k-mer python ints of one sequence (N windows skipped)."""
+    out = []
+    if len(seq) < k:
+        return out
+    val = 0
+    bad = 0  # distance to the last N
+    mask = (1 << (2 * k)) - 1
+    for i, b in enumerate(seq):
+        b = int(b)
+        if b > 3:
+            bad = k
+            val = 0
+            continue
+        val = ((val << 2) | b) & mask
+        if bad > 0:
+            bad -= 1
+        if i >= k - 1 and bad == 0:
+            out.append(val)
+    return out
+
+
+class MiniDBG:
+    """Single-strand DBG over a tiny read set, with unitig tracing,
+    iterative tip clipping and simple bubble crushing."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.counts: dict[int, int] = {}
+
+    def count(self, seqs, min_cov: int, extra: dict[int, int] | None = None):
+        for s in seqs:
+            for v in _kmer_ints(s, self.k):
+                self.counts[v] = self.counts.get(v, 0) + 1
+        if extra:
+            for v, c in extra.items():
+                self.counts[v] = max(self.counts.get(v, 0), c)
+        self.counts = {v: c for v, c in self.counts.items() if c >= min_cov}
+
+    # -- topology -----------------------------------------------------
+    def _succs(self, v):
+        k = self.k
+        mask = (1 << (2 * k)) - 1
+        base = (v << 2) & mask
+        return [base | b for b in range(4) if (base | b) in self.counts]
+
+    def _preds(self, v):
+        k = self.k
+        high = v >> 2
+        return [high | (b << (2 * (k - 1))) for b in range(4)
+                if (high | (b << (2 * (k - 1)))) in self.counts]
+
+    def unitigs(self):
+        """Maximal chains: (int-array seq, kmer count, mean coverage)."""
+        k = self.k
+        starts = []
+        for v in self.counts:
+            p = self._preds(v)
+            if len(p) != 1 or len(self._succs(p[0])) != 1:
+                starts.append(v)
+        visited = set()
+        out = []
+        for v0 in starts:
+            if v0 in visited:
+                continue
+            chain = [v0]
+            visited.add(v0)
+            v = v0
+            while True:
+                s = self._succs(v)
+                if len(s) != 1:
+                    break
+                nxt = s[0]
+                if len(self._preds(nxt)) != 1 or nxt in visited:
+                    break
+                chain.append(nxt)
+                visited.add(nxt)
+                v = nxt
+            out.append(chain)
+        # isolated cycles
+        for v0 in self.counts:
+            if v0 in visited:
+                continue
+            chain = [v0]
+            visited.add(v0)
+            v = v0
+            while True:
+                s = self._succs(v)
+                if len(s) != 1 or s[0] in visited:
+                    break
+                chain.append(s[0])
+                visited.add(s[0])
+                v = s[0]
+            out.append(chain)
+        res = []
+        for chain in out:
+            seq = np.empty(len(chain) + self.k - 1, dtype=np.uint8)
+            first = chain[0]
+            for i in range(self.k):
+                seq[i] = (first >> (2 * (self.k - 1 - i))) & 3
+            for j, v in enumerate(chain[1:], start=self.k):
+                seq[j] = v & 3
+            cov = sum(self.counts[v] for v in chain) / len(chain)
+            res.append((seq, len(chain), cov))
+        return res
+
+    def cut_branch_iterative(self, branch_threshold=DBG_BRANCH_THRESHOLD):
+        """Tip clipping to fixed point (cutBranch semantics: short chains
+        attached on exactly one side, coverage <= threshold * max sibling)."""
+        while True:
+            tips = []
+            for seq, nk, cov in self.unitigs():
+                if nk > self.k:
+                    continue
+                chain = _kmer_ints(seq, self.k)
+                if not chain:
+                    continue
+                head_p = self._preds(chain[0])
+                tail_s = self._succs(chain[-1])
+                # exclude in-chain self references for 1-kmer chains
+                attached_left = [p for p in head_p if p not in chain]
+                attached_right = [s for s in tail_s if s not in chain]
+                if bool(attached_left) == bool(attached_right):
+                    continue
+                junc = attached_left[0] if attached_left else attached_right[0]
+                sibs = (self._succs(junc) if attached_left
+                        else self._preds(junc))
+                sib_cov = 0
+                for sb in sibs:
+                    if sb in chain:
+                        continue
+                    sib_cov = max(sib_cov, self.counts.get(sb, 0))
+                if cov <= sib_cov * branch_threshold:
+                    tips.append(chain)
+            if not tips:
+                break
+            for chain in tips:
+                for v in chain:
+                    self.counts.pop(v, None)
+
+
+# ---------------------------------------------------------------------------
+# flank matching (calcMissmatch{Left,Right}EdgeSeq, gapCloseDBG.h:598-680)
+# ---------------------------------------------------------------------------
+
+def _match_left(head: np.ndarray, u: np.ndarray, min_overlap: int,
+                max_miss_rate: float):
+    """Best 'length' such that u[:length]'s tail aligns to head's tail."""
+    best_len, best_rate = 0, 1.0
+    hs = len(head)
+    for length in range(len(u), min_overlap - 1, -1):
+        max_ov = min(length, hs)
+        seg_u = u[length - max_ov: length]
+        seg_h = head[hs - max_ov:]
+        miss = np.cumsum((seg_u[::-1] != seg_h[::-1]).astype(np.int64))
+        tol1 = int(length * max_miss_rate + 0.5)
+        if miss[min(min_overlap, max_ov) - 1] > tol1:
+            continue
+        tol2 = int(max_ov * max_miss_rate + 0.5)
+        if miss[-1] > tol2:
+            continue
+        rate = miss[-1] / max_ov
+        if rate < best_rate:
+            best_rate = rate
+            best_len = length
+    return best_len, best_rate
+
+
+def _match_right(tail: np.ndarray, u: np.ndarray, min_overlap: int,
+                 max_miss_rate: float):
+    """Best 'length' such that u's tail-segment matches tail's head."""
+    best_len, best_rate = 0, 1.0
+    ts = len(tail)
+    n = len(u)
+    for length in range(n, min_overlap - 1, -1):
+        max_ov = min(length, ts)
+        seg_u = u[n - length: n - length + max_ov]
+        seg_t = tail[:max_ov]
+        miss = np.cumsum((seg_u != seg_t).astype(np.int64))
+        tol1 = int(length * max_miss_rate + 0.5)
+        if miss[min(min_overlap, max_ov) - 1] > tol1:
+            continue
+        tol2 = int(max_ov * max_miss_rate + 0.5)
+        if miss[-1] > tol2:
+            continue
+        rate = miss[-1] / max_ov
+        if rate < best_rate:
+            best_rate = rate
+            best_len = length
+    return best_len, best_rate
+
+
+def dbg_close_gap(gap: Gap, min_k=BRUIJN_MIN_KMER, max_k=BRUIJN_MAX_KMER,
+                  min_cov=MIN_COVERAGE, min_overlap=32, max_miss_rate=0.01,
+                  allow_partial=True) -> bool:
+    """GapCloseDBG.gapAssemble + closedGap(+Partial)."""
+    if len(gap.head) < min_overlap or len(gap.tail) < min_overlap:
+        return False
+    seqs = [gap.head, gap.tail] + gap.reads
+    if len(seqs) < 2:
+        return False
+
+    low = MiniDBG(min_k)
+    low.count(seqs, min_cov)
+    low.cut_branch_iterative()
+    # merge: low-k unitigs re-k-merized into the high-k table
+    # (mergeGraph + saveLargeKmerForGapClose, gapCloseDBG.h:166-258)
+    extra: dict[int, int] = {}
+    for seq, _nk, cov in low.unitigs():
+        for v in _kmer_ints(seq, max_k):
+            extra[v] = max(extra.get(v, 0), max(int(cov + 0.5), min_cov))
+    high = MiniDBG(max_k)
+    high.count(seqs, min_cov, extra=extra)
+    high.cut_branch_iterative()
+
+    units = [u for u, _nk, _c in high.unitigs()]
+
+    # full closure: exactly one unitig must match BOTH flanks
+    best = None
+    for u in units:
+        lo, lr = _match_left(gap.head, u, min_overlap, max_miss_rate)
+        if lo == 0:
+            continue
+        ro, rr = _match_right(gap.tail, u, min_overlap, max_miss_rate)
+        if ro == 0:
+            continue
+        if best is not None:
+            best = None
+            break  # ambiguous (gapCloseDBG.h:503-504)
+        best = (u, lo, ro)
+    if best is not None:
+        u, lo, ro = best
+        fill_len = len(u) - lo - ro
+        if fill_len > 0:
+            gap.closing_seq = u[lo: lo + fill_len].copy()
+            gap.closing_length = fill_len
+        elif fill_len <= 0:
+            ov = -fill_len
+            if ov > len(gap.head) or ov > len(gap.tail):
+                return False
+            if not np.array_equal(gap.head[len(gap.head) - ov:],
+                                  gap.tail[:ov]):
+                return False
+            # flanks themselves overlap: negative closure trims the tail
+            gap.closing_seq = np.zeros(0, np.uint8)
+            gap.closing_length = -(ov)
+        gap.state = CLOSED
+        gap.remained_gap = 0
+        return True
+
+    if not allow_partial:
+        return False
+    # partial closure: best left-matching unitig + best right-matching one
+    best_l = best_r = None
+    bl_rate = br_rate = 1.0
+    bl_len = br_len = 0
+    for u in units:
+        lo, lr = _match_left(gap.head, u, min_overlap, max_miss_rate)
+        if lo > 0 and lr < bl_rate:
+            best_l, bl_len, bl_rate = u, lo, lr
+            continue
+        ro, rr = _match_right(gap.tail, u, min_overlap, max_miss_rate)
+        if ro > 0 and rr < br_rate:
+            best_r, br_len, br_rate = u, ro, rr
+    if best_l is None and best_r is None:
+        return False
+    left_fill = best_l[bl_len:] if best_l is not None else np.zeros(0, np.uint8)
+    right_fill = (best_r[: len(best_r) - br_len]
+                  if best_r is not None else np.zeros(0, np.uint8))
+    fill = len(left_fill) + len(right_fill)
+    gap_len = max(gap.length - fill, MIN_GAP_LENGTH_PARTIAL)
+    gap.closing_seq = np.concatenate([
+        left_fill, np.full(gap_len, 4, np.uint8), right_fill])
+    gap.closing_length = len(gap.closing_seq)
+    gap.remained_gap = gap_len
+    gap.state = PART_CLOSED
+    return True
+
+
+# ---------------------------------------------------------------------------
+# OLC fallback (gapCloseOLC.cpp)
+# ---------------------------------------------------------------------------
+
+def _best_overlap(a: np.ndarray, b: np.ndarray, min_overlap: int,
+                  max_edit: int) -> int:
+    """Longest suffix(a)/prefix(b) overlap with <= max_edit mismatches."""
+    top = min(len(a), len(b))
+    for ov in range(top, min_overlap - 1, -1):
+        if int((a[len(a) - ov:] != b[:ov]).sum()) <= max_edit:
+            return ov
+    return 0
+
+
+def olc_close_gap(gap: Gap, min_overlap=32, max_edit=1,
+                  min_consensus=0.66) -> bool:
+    """Greedy layout extension from the head flank with per-column consensus
+    voting (greedyExtension/consensusBase, gapCloseOLC.cpp:368-553)."""
+    reads = [r for r in gap.reads if len(r) >= min_overlap]
+    if not reads or len(gap.head) < min_overlap or len(gap.tail) < min_overlap:
+        return False
+    layout = gap.head.copy()
+    used = np.zeros(len(reads), dtype=bool)
+    max_total = gap.length + 2 * HEAD_TAIL_SEQ_LEN + sum(len(r) for r in reads)
+    while len(layout) < max_total:
+        # closed? tail flank overlaps layout end
+        ov_t = _best_overlap(layout, gap.tail, min_overlap, max_edit)
+        if ov_t > 0:
+            fill = layout[len(gap.head): len(layout) - ov_t]
+            gap.closing_seq = fill.copy()
+            gap.closing_length = len(fill)
+            gap.state = CLOSED
+            gap.remained_gap = 0
+            return True
+        # collect candidate extensions
+        votes: dict[int, np.ndarray] = {}
+        placed = False
+        ext_len = 0
+        cols: list[list[int]] = []
+        for ri, r in enumerate(reads):
+            if used[ri]:
+                continue
+            ov = _best_overlap(layout, r, min_overlap, max_edit)
+            if ov == 0 or ov >= len(r):
+                continue
+            ext = r[ov:]
+            placed = True
+            for j, b in enumerate(ext):
+                while len(cols) <= j:
+                    cols.append([0, 0, 0, 0, 0])
+                cols[j][min(int(b), 4)] += 1
+        if not placed or not cols:
+            return False
+        new_bases = []
+        for col in cols:
+            tot = sum(col)
+            bmax = int(np.argmax(col))
+            if tot == 0 or col[bmax] / tot < min_consensus:
+                break
+            new_bases.append(bmax)
+        if not new_bases:
+            return False
+        # mark reads fully consumed by the new layout end as used
+        layout = np.concatenate([layout, np.array(new_bases, np.uint8)])
+        for ri, r in enumerate(reads):
+            if not used[ri]:
+                ov = _best_overlap(layout, r, min_overlap, max_edit)
+                if ov >= len(r):
+                    used[ri] = True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# output (generateGapClosedSeq, gapClose.cpp:1095-1180)
+# ---------------------------------------------------------------------------
+
+def generate_gap_closed_seqs(scaffolds: list[np.ndarray],
+                             gaps: list[Gap]) -> list[np.ndarray]:
+    by_scaffold: dict[int, list[Gap]] = {}
+    for g in gaps:
+        by_scaffold.setdefault(g.scaffold_id, []).append(g)
+    out = []
+    n_closed = 0
+    for si, s in enumerate(scaffolds):
+        glist = sorted(by_scaffold.get(si + 1, []), key=lambda g: g.start)
+        parts = []
+        pos = 0
+        for g in glist:
+            parts.append(s[pos: g.start])
+            if g.state == UNCLOSED or g.closing_seq is None:
+                parts.append(s[g.start: g.end])
+            else:
+                if g.closing_length >= 0:
+                    parts.append(g.closing_seq)
+                else:
+                    # negative closure: flanks overlap; trim the emitted head
+                    trim = -g.closing_length
+                    prev = parts[-1]
+                    parts[-1] = prev[: len(prev) - trim]
+                n_closed += 1
+            pos = g.end
+        parts.append(s[pos:])
+        out.append(np.concatenate(parts) if parts else s)
+    LOG.counter("NUM_CLOSED_GAPS_TOTAL", n_closed)
+    return out
