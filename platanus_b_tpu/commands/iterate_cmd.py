@@ -6,11 +6,9 @@ Stage order per round: merge (round>1) -> kmer_divide -> solve_dbg
 -unphase -> polish -> gap_close; then a final divide + polish, and
 redundancy reduction to PREFIX_iterativeAssembly.fa.
 
-Round-1 deviation (documented): the combine rounds
-(solve_DBG -combine + combinatorial_gap_close.pl + remove_redundant_seq.pl,
-iterate.cpp:490-549) are replaced by a containment-based redundancy
-reduction of the final polished assembly until the assembly-to-assembly
-aligner lands.
+The combine rounds (solve_DBG -combine + combinatorial_gap_close.pl +
+remove_redundant_seq.pl, iterate.cpp:490-549) run in-process through
+models.combinatorial on top of the asm10 long-read aligner.
 """
 
 from __future__ import annotations
@@ -50,6 +48,11 @@ def _lib_argv(libspecs) -> list[str]:
             out.append(f"-{kind}{spec.lib_id}")
             out.extend(files)
     return out
+
+
+def _restamp_len(name: str, length: int) -> str:
+    import re
+    return re.sub(r"len\d+", f"len{length}", name, count=1)
 
 
 def _call(argv: list[str], stage: str) -> None:
@@ -144,12 +147,40 @@ def run(args) -> int:
            "-o", f"{cur_dir}/{o}"] + libargv, "final polish")
 
     final_in = f"{cur_dir}/{o}_polished_final_divided.fa"
-    # redundancy reduction stands in for the combine rounds (see module doc)
-    from ..models.scaffold import ResultSeq, mark_redundant_result_seq
-    recs = [(n, fa.seq_to_codes(s)) for n, s in fa.iter_fasta(final_in)]
-    tmp = [ResultSeq(seq=c, name=n, component="") for n, c in recs]
-    mark_redundant_result_seq(tmp)
-    out_recs = [(r.name, fa.codes_to_seq(r.seq)) for r in tmp if not r.redundant]
+
+    # combine rounds (iterate.cpp:490-549): combine the final assembly with
+    # each later round's gap-closed result, then combinatorial gap close and
+    # redundancy removal; the last round's result is the final output
+    from ..models import combinatorial as comb
+    final_file = final_in
+    for times in range(max(args.i // 2, 1), args.i):
+        gc_file = (f"{inter}/{o}{times}/"
+                   f"{o}_gapClosed_polished_consensusScaffold.fa")
+        if not os.path.exists(gc_file):
+            continue
+        prefix = f"{cur_dir}/{o}{times}"
+        _call(["solve_dbg", "-combine", "-c", final_in, "-gc", gc_file,
+               "-o", prefix], f"combine (round {times})")
+        base = [(n, fa.seq_to_codes(s))
+                for n, s in fa.iter_fasta(f"{prefix}_combined.fa")]
+        compl = [(n, fa.seq_to_codes(s)) for n, s in fa.iter_fasta(gc_file)]
+        if base and compl:
+            closed, _n = comb.combinatorial_gap_close(
+                [c for _n2, c in base], [n for n, _c in base],
+                [c for _n2, c in compl], [n for n, _c in compl])
+            base = list(zip([n for n, _c in base], closed))
+        fa.write_fasta(f"{prefix}_closed.fa",
+                       [(n, fa.codes_to_seq(c)) for n, c in base])
+        red = comb.remove_redundant([c for _n2, c in base],
+                                    [n for n, _c in base])
+        fa.write_fasta(f"{prefix}_closed.fa.rmred",
+                       [(n, fa.codes_to_seq(c))
+                        for (n, c), r in zip(base, red) if not r])
+        final_file = f"{prefix}_closed.fa.rmred"
+
+    out_recs = [(n, s) for n, s in fa.iter_fasta(final_file)]
+    # re-stamp lengths in headers (close_gap.pl renames lenNNN)
+    out_recs = [(_restamp_len(n, len(s)), s) for n, s in out_recs]
     fa.write_fasta(f"{o}_iterativeAssembly.fa", out_recs)
     LOG.counter("NUM_OUTPUT_SEQ", len(out_recs))
 

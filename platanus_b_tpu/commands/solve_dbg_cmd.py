@@ -175,6 +175,32 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                                          mp.insert_lengths)
         mapped.append(mp)
 
+    # long reads (-p/-ont): align once onto contigs; links are lifted to
+    # current nodes each round (execMinimap2 + readLongReadPAFfileAndSaveLink,
+    # solveDBG.cpp:697-723)
+    read_records = None
+    avg_long_len = 0
+    if long_read_paths:
+        from ..models.longread import (LongReadAligner,
+                                       alignments_to_read_records)
+        LOG.info("[LONG_READ_LIBRARY]")
+        reads, rnames = [], []
+        for path in long_read_paths:
+            for n, s in fa.iter_reads(path):
+                rnames.append(n)
+                reads.append(fa.seq_to_codes(s))
+        aligner = LongReadAligner(seqs, names, "map-ont")
+        alns = aligner.align_batch(reads, rnames)
+        name_index = {n: i for i, n in enumerate(names)}
+        read_records = alignments_to_read_records(
+            alns, name_index, min_alignment_length=1000,
+            min_coverage=0.8, min_identity=0.5,
+            tolerence=max_k)
+        if read_records:
+            avg_long_len = int(np.mean([rl for rl, _ in
+                                        read_records.values()]))
+        LOG.counter("MAPPED_READ", len(read_records))
+
     join_unambiguous_overlaps(graph)
 
     # consensus scaffolding rounds (extendConsensus scaffolding block,
@@ -204,6 +230,18 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                         graph.delete_repeat_edge()
                     graph.detect_repeat(graph.average_coverage)
                     graph.make_scaffold()
+        # long-read scaffolding pass (extendConsensus long-read block,
+        # solveDBG.cpp:529-560: makeGraph -> deleteErroneousEdgeScore(0.125)
+        # -> deleteRepeatEdge -> detectRepeat -> makeScaffoldCombine)
+        if read_records:
+            graph.tolerence = min(avg_long_len,
+                                  2 * max_k) if avg_long_len else 2 * max_k
+            graph.min_link = min_link
+            graph.make_graph_long(read_records)
+            graph.delete_erroneous_edge_score(0.125)
+            graph.delete_repeat_edge()
+            graph.detect_repeat(graph.average_coverage)
+            graph.make_scaffold()
     graph.min_overlap = max_k - 1
 
     if libs:

@@ -1,0 +1,333 @@
+"""Long-read / assembly-to-assembly aligner (minimap2 replacement).
+
+Seed-chain pipeline replacing the vendored minimap2 2.17 subprocess
+(SURVEY §2.9; invoked at solveDBG.cpp:1035-1116 with presets map-pb /
+map-ont / asm10). Downstream consumers only use coarse filtered records —
+PAF columns 1-11 plus AS:i: score (mapper.cpp:1889-1899), filtered at
+identity >= 0.8, length >= 1000 (solveDBG.cpp:44-46) — so the required
+fidelity is anchor-chain-level, not base-level.
+
+Pipeline: device minimizer sketch (ops.minimizer) -> sorted target
+minimizer index -> per-read anchor gathering with repeat-occurrence
+filtering (minimap2 index.c mid_occ analog) -> host chaining DP with
+bounded lookback (minimap2 chain.c:162 semantics: gap-cost-penalized
+colinear chains per target/strand) -> alignment records with
+anchor-estimated matches/identity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.minimizer import sketch
+from ..utils.log import LOG
+
+
+@dataclass
+class Preset:
+    name: str
+    k: int
+    w: int
+    max_gap: int = 5000
+    min_chain_score: int = 40
+    min_chain_anchors: int = 3
+    lookback: int = 25
+    max_occ: int = 50
+
+
+PRESETS = {
+    "map-ont": Preset("map-ont", k=15, w=10),
+    "map-pb": Preset("map-pb", k=15, w=5),
+    "asm10": Preset("asm10", k=19, w=19, max_gap=10000, min_chain_score=100,
+                    min_chain_anchors=5),
+}
+
+
+@dataclass
+class Alignment:
+    """One chained alignment (PAF cols 1-11 + AS score)."""
+
+    q_name: str
+    q_len: int
+    q_start: int
+    q_end: int
+    strand: str            # '+' | '-'
+    t_name: str
+    t_len: int
+    t_start: int
+    t_end: int
+    matches: int           # approx: sum of anchor k-spans
+    block_len: int
+    score: int
+
+    @property
+    def identity(self) -> float:
+        return self.matches / max(self.block_len, 1)
+
+    def paf_line(self) -> str:
+        return (f"{self.q_name}\t{self.q_len}\t{self.q_start}\t{self.q_end}\t"
+                f"{self.strand}\t{self.t_name}\t{self.t_len}\t{self.t_start}\t"
+                f"{self.t_end}\t{self.matches}\t{self.block_len}\t60\t"
+                f"AS:i:{self.score}")
+
+
+def _pad_batch(seqs: list[np.ndarray], pad_to_mult=32, min_rows=1):
+    lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    lmax = -(-max(int(lens.max()) if len(lens) else 1, 1) // pad_to_mult) * pad_to_mult
+    rows = max(len(seqs), min_rows)
+    mat = np.full((rows, lmax), 4, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        mat[i, : len(s)] = s
+    return mat, lens
+
+
+class LongReadAligner:
+    def __init__(self, targets: list[np.ndarray], names: list[str],
+                 preset: str | Preset = "map-ont"):
+        self.p = PRESETS[preset] if isinstance(preset, str) else preset
+        self.targets = targets
+        self.names = names
+        self.t_lens = np.array([len(t) for t in targets], dtype=np.int64)
+        self._build_index()
+
+    def _build_index(self):
+        p = self.p
+        hashes, tids, poss, strands = [], [], [], []
+        CHUNK = 64
+        for c0 in range(0, len(self.targets), CHUNK):
+            chunk = self.targets[c0: c0 + CHUNK]
+            if not chunk:
+                continue
+            mat, lens = _pad_batch(chunk)
+            sk = sketch(mat, lens, p.k, p.w)
+            for i, (h, pos, st) in enumerate(sk):
+                hashes.append(h)
+                tids.append(np.full(len(h), c0 + i, np.int32))
+                poss.append(pos)
+                strands.append(st)
+        if hashes:
+            h = np.concatenate(hashes)
+            order = np.argsort(h, kind="stable")
+            self.idx_hash = h[order]
+            self.idx_tid = np.concatenate(tids)[order]
+            self.idx_pos = np.concatenate(poss)[order]
+            self.idx_strand = np.concatenate(strands)[order]
+        else:
+            self.idx_hash = np.zeros(0, np.uint32)
+            self.idx_tid = np.zeros(0, np.int32)
+            self.idx_pos = np.zeros(0, np.int32)
+            self.idx_strand = np.zeros(0, np.uint8)
+
+    # ------------------------------------------------------------------
+    def align_batch(self, reads: list[np.ndarray], names: list[str]
+                    ) -> list[Alignment]:
+        p = self.p
+        out: list[Alignment] = []
+        if not reads or len(self.idx_hash) == 0:
+            return out
+        CHUNK = 256
+        for c0 in range(0, len(reads), CHUNK):
+            chunk = reads[c0: c0 + CHUNK]
+            mat, lens = _pad_batch(chunk)
+            sks = sketch(mat, lens, p.k, p.w)
+            for ri, (h, qpos, qstrand) in enumerate(sks):
+                out.extend(self._align_one(h, qpos, qstrand,
+                                           names[c0 + ri], len(chunk[ri])))
+        return out
+
+    def _align_one(self, h, qpos, qstrand, qname, qlen) -> list[Alignment]:
+        p = self.p
+        lo = np.searchsorted(self.idx_hash, h, side="left")
+        hi = np.searchsorted(self.idx_hash, h, side="right")
+        occ = hi - lo
+        keep = (occ > 0) & (occ <= p.max_occ)
+        anchors_q, anchors_t, anchors_tid, anchors_rev = [], [], [], []
+        for i in np.nonzero(keep)[0]:
+            sl = slice(lo[i], hi[i])
+            anchors_q.append(np.full(hi[i] - lo[i], qpos[i], np.int64))
+            anchors_t.append(self.idx_pos[sl].astype(np.int64))
+            anchors_tid.append(self.idx_tid[sl])
+            anchors_rev.append(self.idx_strand[sl] != qstrand[i])
+        if not anchors_q:
+            return []
+        aq = np.concatenate(anchors_q)
+        at = np.concatenate(anchors_t)
+        atid = np.concatenate(anchors_tid)
+        arev = np.concatenate(anchors_rev)
+
+        out = []
+        # chain separately per (target, orientation)
+        for rev in (False, True):
+            sel = arev == rev
+            if not sel.any():
+                continue
+            q, t, tid = aq[sel], at[sel], atid[sel]
+            # diagonal coordinate: for reverse matches, flip query coords
+            qq = (qlen - self.p.k - q) if rev else q
+            order = np.lexsort((qq, t, tid))
+            q2, t2, tid2, qq2 = q[order], t[order], tid[order], qq[order]
+            for st, en in _group_runs(tid2):
+                chains = _chain(qq2[st:en], t2[st:en], p)
+                for idx, score in chains:
+                    qs_r = qq2[st:en][idx]
+                    ts_r = t2[st:en][idx]
+                    n_anchor = len(idx)
+                    matches = min(n_anchor * p.k,
+                                  int(ts_r[-1] - ts_r[0]) + p.k)
+                    t_start = int(ts_r[0])
+                    t_end = int(ts_r[-1]) + p.k
+                    qq_start = int(qs_r[0])
+                    qq_end = int(qs_r[-1]) + p.k
+                    if rev:
+                        q_start = qlen - qq_end
+                        q_end = qlen - qq_start
+                    else:
+                        q_start, q_end = qq_start, qq_end
+                    block = max(q_end - q_start, t_end - t_start)
+                    ti = int(tid2[st])
+                    out.append(Alignment(
+                        q_name=qname, q_len=qlen, q_start=q_start,
+                        q_end=q_end, strand="-" if rev else "+",
+                        t_name=self.names[ti], t_len=int(self.t_lens[ti]),
+                        t_start=t_start, t_end=t_end, matches=matches,
+                        block_len=block, score=int(score)))
+        return out
+
+
+def _group_runs(arr):
+    if len(arr) == 0:
+        return
+    changes = np.nonzero(np.diff(arr))[0] + 1
+    starts = np.concatenate([[0], changes])
+    ends = np.concatenate([changes, [len(arr)]])
+    for s, e in zip(starts, ends):
+        yield int(s), int(e)
+
+
+def _chain(q: np.ndarray, t: np.ndarray, p: Preset):
+    """Colinear chaining with bounded lookback (minimap2 chain.c semantics).
+
+    Anchors are sorted by (t, q). score(j->i) = min(dq, dt, k) - gap_cost,
+    gap_cost = |dq - dt| * 0.1 + small log penalty. Returns chains as
+    (anchor index arrays, score), non-overlapping by greedy backtrack.
+    """
+    n = len(q)
+    if n == 0:
+        return []
+    f = np.full(n, p.k, dtype=np.float64)
+    prev = np.full(n, -1, dtype=np.int64)
+    H = p.lookback
+    for i in range(1, n):
+        j0 = max(0, i - H)
+        dq = q[i] - q[j0:i]
+        dt = t[i] - t[j0:i]
+        ok = (dq > 0) & (dt > 0) & (dq <= p.max_gap) & (dt <= p.max_gap)
+        if not ok.any():
+            continue
+        gain = np.minimum(np.minimum(dq, dt), p.k).astype(np.float64)
+        gap = np.abs(dq - dt)
+        cost = gap * 0.1 + np.where(gap > 0, np.log2(gap + 1) * 0.5, 0.0)
+        cand = np.where(ok, f[j0:i] + gain - cost, -np.inf)
+        b = int(np.argmax(cand))
+        if cand[b] > f[i]:
+            f[i] = cand[b]
+            prev[i] = j0 + b
+    # extract chains best-first
+    used = np.zeros(n, dtype=bool)
+    chains = []
+    for i in np.argsort(-f):
+        if used[i] or f[i] < p.min_chain_score:
+            continue
+        path = []
+        j = i
+        while j >= 0 and not used[j]:
+            path.append(j)
+            used[j] = True
+            j = prev[j]
+        if len(path) >= p.min_chain_anchors:
+            chains.append((np.array(path[::-1]), f[i]))
+    return chains
+
+
+def write_paf(path: str, alignments: list[Alignment]) -> None:
+    with open(path, "w") as f:
+        for a in alignments:
+            f.write(a.paf_line() + "\n")
+
+
+# ---------------------------------------------------------------------------
+# the consumer-side reduction (readLongReadPAFfileAndSaveLink semantics)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ReadAlignmentRecord:
+    """Per-read filtered alignment (LongReadAlignment, mapper.h)."""
+
+    position_id: int   # signed contig id (1-based)
+    position_offset: int  # projected read-start position on the contig
+    t_start: int
+    t_end: int
+    read_start: int
+    read_end: int
+    score: int
+
+
+def reduce_alignments_greedy(records: list[ReadAlignmentRecord],
+                             tolerence: int) -> list[ReadAlignmentRecord]:
+    """reduceAlignmentsGreedy (mapper.cpp:1836-1853): keep score-descending
+    alignments whose read intervals overlap retained ones by <= tolerence."""
+    recs = sorted(records, key=lambda r: -r.score)
+    kept: list[ReadAlignmentRecord] = []
+    for r in recs:
+        ok = True
+        for kpt in kept:
+            if min(r.read_end - kpt.read_start,
+                   kpt.read_end - r.read_start) > tolerence:
+                ok = False
+                break
+        if ok:
+            kept.append(r)
+    return kept
+
+
+def alignments_to_read_records(alignments: list[Alignment],
+                               name_index: dict[str, int],
+                               min_alignment_length: int = 1000,
+                               min_coverage: float = 0.8,
+                               min_identity: float = 0.8,
+                               tolerence: int = 1000
+                               ) -> dict[str, tuple[int, list[ReadAlignmentRecord]]]:
+    """PAF -> per-read reduced alignment records
+    (readLongReadPAFfileAndSaveLink, mapper.cpp:1855-2001)."""
+    sum_q = sum(a.q_end - a.q_start for a in alignments)
+    sum_t = sum(a.t_end - a.t_start for a in alignments)
+    ins_rate = sum_q / max(sum_t, 1)
+
+    by_read: dict[str, tuple[int, list[ReadAlignmentRecord]]] = {}
+    for a in alignments:
+        alen = max(a.q_end - a.q_start, a.t_end - a.t_start)
+        if a.matches / max(alen, 1) < min_identity:
+            continue
+        if not (alen >= min_alignment_length
+                or alen / max(min(a.q_len, a.t_len), 1) >= min_coverage):
+            continue
+        ci = name_index.get(a.t_name)
+        if ci is None:
+            continue
+        if a.strand == "+":
+            rec = ReadAlignmentRecord(
+                position_id=ci + 1,
+                position_offset=int(a.t_start - a.q_start / ins_rate),
+                t_start=a.t_start, t_end=a.t_end,
+                read_start=a.q_start, read_end=a.q_end, score=a.score)
+        else:
+            rec = ReadAlignmentRecord(
+                position_id=-(ci + 1),
+                position_offset=int((a.t_end - 1) + a.q_start / ins_rate),
+                t_start=a.t_end - 1, t_end=a.t_start - 1,
+                read_start=a.q_start, read_end=a.q_end, score=a.score)
+        by_read.setdefault(a.q_name, (a.q_len, []))[1].append(rec)
+    return {name: (rl, reduce_alignments_greedy(recs, tolerence))
+            for name, (rl, recs) in by_read.items()}

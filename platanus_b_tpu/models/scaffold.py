@@ -320,6 +320,132 @@ class ScaffoldGraph:
             n.edges.sort(key=lambda e: (e.direction, e.end))
 
     # ------------------------------------------------------------------
+    # long-read links (storeGraphLinkFromMappedLongRead,
+    # pairedDBG.cpp:312-448)
+    # ------------------------------------------------------------------
+    def store_links_long(self, read_records) -> np.ndarray:
+        """Lift per-read alignment records to node coords and emit links
+        between every node pair a read spans: (N, 6) [id1, off1, id2, off2,
+        gap, score]."""
+        out = []
+        for _name, (read_len, recs) in read_records.items():
+            lifted = {}
+            for r in recs:
+                ci = abs(r.position_id) - 1
+                nid = self.contig_pos_id[ci]
+                if nid == 0:
+                    continue
+                sid = nid if r.position_id > 0 else -nid
+                o = (r.position_offset if nid > 0
+                     else len(self.contig[ci]) - r.position_offset - 1)
+                n = self.node[abs(sid) - 1]
+                _c, cst, _e = n.contigs[self.contig_pos_off[ci]]
+                key = (int(sid), int(o + cst))
+                ent = lifted.get(key)
+                if ent is None:
+                    lifted[key] = [r.score, int(self.contig_pos_off[ci])]
+                else:
+                    ent[0] += r.score  # merge same-position alignments
+            merged = [(sid, off, sc, cidx)
+                      for (sid, off), (sc, cidx) in lifted.items()]
+            for a in range(len(merged) - 1):
+                for b in range(a + 1, len(merged)):
+                    id_a, off_a, sc_a, ci_a = merged[a]
+                    id_b, off_b, sc_b, ci_b = merged[b]
+                    if abs(id_a) == abs(id_b):
+                        continue
+                    len_a = self.node[abs(id_a) - 1].length
+                    len_b = self.node[abs(id_b) - 1].length
+                    if id_a > 0:
+                        fl, fr = -off_a, len_a - off_a - 1
+                    else:
+                        fl, fr = -(len_a - off_a - 1), off_a
+                    if id_b > 0:
+                        rl, rr = -off_b, len_b - off_b - 1
+                    else:
+                        rl, rr = -(len_b - off_b - 1), off_b
+                    if fl <= rl:
+                        if fr > rr:
+                            continue
+                        gap = -(fr - rl + 1)
+                    else:
+                        if rr > fr:
+                            continue
+                        gap = -(rr - fl + 1)
+                    if abs(id_a) < abs(id_b):
+                        if fr < rr:
+                            id1, o1, id2, o2 = id_a, ci_a, id_b, ci_b
+                        else:
+                            id1, o1, id2, o2 = -id_a, ci_a, -id_b, ci_b
+                    else:
+                        if fr < rr:
+                            id1, o1, id2, o2 = -id_b, ci_b, -id_a, ci_a
+                        else:
+                            id1, o1, id2, o2 = id_b, ci_b, id_a, ci_a
+                    if -gap > self.tolerence:
+                        continue
+                    out.append((id1, o1, id2, o2, gap, sc_a + sc_b))
+        return np.array(out, dtype=np.int64).reshape(-1, 6)
+
+    def make_graph_long(self, read_records) -> None:
+        """Long-read link graph (makeGraph in LONG_READ_LINK_MODE)."""
+        LOG.info("linking scaffolds with long reads...")
+        links = self.store_links_long(read_records)
+        for n in self.node:
+            n.edges = []
+        if len(links) == 0:
+            return
+        order = np.lexsort((links[:, 4], links[:, 2], links[:, 0]))
+        links = links[order]
+        keys = links[:, [0, 2]]
+        new_grp = np.ones(len(links), dtype=bool)
+        new_grp[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+        starts = np.nonzero(new_grp)[0]
+        ends = np.append(starts[1:], len(links))
+        for s, e in zip(starts, ends):
+            if e - s < self.min_link:
+                continue
+            id1, id2 = int(links[s, 0]), int(links[s, 2])
+            gap = int(math.floor(links[s:e, 4].mean() + 0.5))
+            score = int(links[s:e, 5].sum())
+            num_link = int(e - s)
+            i, j = abs(id1) - 1, abs(id2) - 1
+            d1 = 1 if id1 > 0 else -1
+            d2 = 1 if -id2 > 0 else -1
+            end1 = (j + 1) if id1 * id2 > 0 else -(j + 1)
+            end2 = (i + 1) if id1 * id2 > 0 else -(i + 1)
+            self.node[i].edges.append(GraphEdge(d1, end1, gap, num_link,
+                                                None, score))
+            self.node[j].edges.append(GraphEdge(d2, end2, gap, num_link,
+                                                None, score))
+        for n in self.node:
+            n.edges.sort(key=lambda e: (e.direction, e.end))
+
+    def delete_erroneous_edge_score(self, rate: float) -> int:
+        """deleteErroneousEdgeScore (pairedDBG.cpp): of two conflicting
+        edges, drop the one whose score is < rate * the other's."""
+        total = 0
+        while True:
+            ids = []
+            for ni, n in enumerate(self.node):
+                for a in range(len(n.edges) - 1):
+                    for b in range(a + 1, len(n.edges)):
+                        e1, e2 = n.edges[a], n.edges[b]
+                        n1 = self.node[abs(e1.end) - 1]
+                        n2 = self.node[abs(e2.end) - 1]
+                        if not self._check_delete_edge(e1, e2, n1, n2):
+                            continue
+                        if e1.score < rate * e2.score:
+                            ids.append((ni + 1, e1.end))
+                        elif e2.score < rate * e1.score:
+                            ids.append((ni + 1, e2.end))
+            self.delete_edges(ids)
+            total += len(ids)
+            if not ids:
+                break
+        return total
+
+    # ------------------------------------------------------------------
     # expected links + edge cleaning
     # ------------------------------------------------------------------
     def calc_expected_link(self, coverage, len1, len2, g) -> float:

@@ -1,0 +1,83 @@
+"""Long-read aligner: minimizers, chaining, PAF records."""
+
+import numpy as np
+import simdata
+
+from platanus_b_tpu.io.fasta import seq_to_codes
+from platanus_b_tpu.models.longread import (LongReadAligner,
+                                            alignments_to_read_records)
+from platanus_b_tpu.ops.minimizer import sketch
+
+
+def test_minimizer_sketch_basic(rng):
+    s = seq_to_codes(simdata.random_genome(rng, 500))
+    mat = np.full((1, 512), 4, np.uint8)
+    mat[0, :500] = s
+    (h, pos, strand), = sketch(mat, np.array([500]), k=15, w=10)
+    # density ~ 2/(w+1): expect roughly 90 minimizers for 486 windows
+    assert 40 < len(h) < 180
+    assert (np.diff(pos) > 0).all()
+    assert (np.diff(pos) <= 10).all()  # winnowing guarantee
+
+
+def test_minimizer_strand_symmetry(rng):
+    g = simdata.random_genome(rng, 400)
+    fwd = seq_to_codes(g)
+    rev = seq_to_codes(simdata.rc(g))
+    mat = np.full((2, 416), 4, np.uint8)
+    mat[0, :400] = fwd
+    mat[1, :400] = rev
+    sk = sketch(mat, np.array([400, 400]), k=15, w=10)
+    # canonical hashing: the two strands share most minimizer hashes
+    h0, h1 = set(sk[0][0].tolist()), set(sk[1][0].tolist())
+    inter = len(h0 & h1)
+    assert inter / max(len(h0), 1) > 0.85
+
+
+def test_align_exact_substring(rng):
+    genome = simdata.random_genome(rng, 20000)
+    aligner = LongReadAligner([seq_to_codes(genome)], ["t1"], "map-ont")
+    read = genome[5000:8000]
+    alns = aligner.align_batch([seq_to_codes(read)], ["r1"])
+    assert alns
+    best = max(alns, key=lambda a: a.score)
+    assert best.strand == "+"
+    assert abs(best.t_start - 5000) < 50
+    assert abs(best.t_end - 8000) < 50
+    assert best.identity > 0.5
+
+
+def test_align_reverse_and_errors(rng):
+    genome = simdata.random_genome(rng, 15000)
+    aligner = LongReadAligner([seq_to_codes(genome)], ["t1"], "map-ont")
+    read = simdata.mutate(rng, simdata.rc(genome[3000:7000]), 0.05)
+    alns = aligner.align_batch([seq_to_codes(read)], ["r1"])
+    assert alns
+    best = max(alns, key=lambda a: a.score)
+    assert best.strand == "-"
+    assert abs(best.t_start - 3000) < 200
+    assert abs(best.t_end - 7000) < 200
+
+
+def test_no_alignment_on_unrelated(rng):
+    g1 = simdata.random_genome(rng, 8000)
+    g2 = simdata.random_genome(rng, 3000)
+    aligner = LongReadAligner([seq_to_codes(g1)], ["t1"], "map-ont")
+    alns = aligner.align_batch([seq_to_codes(g2)], ["r1"])
+    assert len(alns) == 0
+
+
+def test_read_records_reduction(rng):
+    # read spanning two contigs -> two records after filtering
+    genome = simdata.random_genome(rng, 12000)
+    c1, c2 = genome[:6000], genome[6000:]
+    aligner = LongReadAligner([seq_to_codes(c1), seq_to_codes(c2)],
+                              ["c1", "c2"], "map-ont")
+    read = genome[4000:9000]
+    alns = aligner.align_batch([seq_to_codes(read)], ["r1"])
+    recs = alignments_to_read_records(alns, {"c1": 0, "c2": 1},
+                                      min_alignment_length=1000)
+    assert "r1" in recs
+    rl, rlist = recs["r1"]
+    ids = sorted(abs(r.position_id) for r in rlist)
+    assert ids == [1, 2]
