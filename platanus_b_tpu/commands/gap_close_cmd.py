@@ -49,9 +49,15 @@ def add_parser(sub) -> None:
 def close_gaps(scaffolds, libs, seed_lengths=(32,), min_overlap_olc=32,
                min_overlap_dbg=32, olc_threshold=1000, max_edit_olc=1,
                max_miss_dbg=0.01, min_consensus_olc=0.66,
-               no_partial=False, disable_pair=False):
+               no_partial=False, disable_pair=False, extend=False):
     """Run the full per-library gap-close loop; mutates nothing, returns
     (closed scaffold seqs, gap list)."""
+    if extend:
+        # ADD_N_EDGE (common.h:577-591): one N pad at each end creates
+        # edge gaps that the extendEdge path can grow
+        scaffolds = [np.concatenate([np.full(1, 4, np.uint8), s,
+                                     np.full(1, 4, np.uint8)])
+                     for s in scaffolds]
     index = ContigIndex(scaffolds, key_length=32)
     gaps = gc.make_gap_table(scaffolds)
     LOG.counter("NUM_GAPS_TOTAL", len(gaps))
@@ -84,11 +90,19 @@ def close_gaps(scaffolds, libs, seed_lengths=(32,), min_overlap_olc=32,
                              lib.fwd_lengths, int(lib.average_insert), tol)
 
         LOG.info("assembling localized reads...")
-        n_dbg = n_olc = n_part = 0
+        n_dbg = n_olc = n_part = n_ext = 0
         for g in gaps:
             if g.state == gc.CLOSED:
                 continue
             if not g.reads:
+                continue
+            scaf_len = len(scaffolds[g.scaffold_id - 1])
+            if g.start == 0 or g.end == scaf_len:
+                # scaffold-edge gap -> extension (gapClose.cpp:754-760)
+                if gc.dbg_extend_edge(g, scaf_len,
+                                      min_overlap=min_overlap_dbg,
+                                      max_miss_rate=max_miss_dbg):
+                    n_ext += 1
                 continue
             if gc.dbg_close_gap(g, min_overlap=min_overlap_dbg,
                                 max_miss_rate=max_miss_dbg,
@@ -110,6 +124,8 @@ def close_gaps(scaffolds, libs, seed_lengths=(32,), min_overlap_olc=32,
         LOG.counter("NUM_CLOSED_GAPS_IN_DE_BRUIJN", n_dbg)
         LOG.counter("NUM_CLOSED_GAPS_IN_OVERLAP_LAYOUT_CONSENSUS", n_olc)
         LOG.counter("NUM_CLOSED_GAPS_PARTIAL", n_part)
+        if extend:
+            LOG.counter("NUM_EXTENDED_EDGES", n_ext)
         # reads stay pooled on gaps for the next library pass, as in the
         # reference's leftover-read accumulation
 
@@ -138,12 +154,22 @@ def run(args) -> int:
     covs = [fa.parse_cov(n) for _p, recs in file_recs for n, _c in recs]
     libs = load_libraries(args.libspecs)
 
-    closed, _gaps = close_gaps(
+    closed, gaps = close_gaps(
         scaffolds, libs, seed_lengths=tuple(args.s),
         min_overlap_olc=args.vo, min_overlap_dbg=args.vd,
         olc_threshold=args.d, max_edit_olc=args.eo, max_miss_dbg=args.ed,
         min_consensus_olc=args.ro, no_partial=args.no_partial,
-        disable_pair=args.a)
+        disable_pair=args.a, extend=args.extend)
+    if args.extend:
+        # strip leftover edge-pad Ns
+        from ..models.polish import trim_edge_n
+        closed = [trim_edge_n(s) for s in closed]
+
+    # _extraContig.fa from unclosed-gap read pools (gapClose.cpp:288-290)
+    extras = [e for e in gc.local_assemble_extra_contigs(gaps)
+              if len(e) >= 2 * gc.BRUIJN_MAX_KMER]
+    fa.write_contigs(f"{args.o}_extraContig.fa", extras,
+                     [1.0] * len(extras), 1.0, read_len, max_k, prefix="seq")
 
     if args.reduce_redundancy:
         from ..models.scaffold import ResultSeq, mark_redundant_result_seq

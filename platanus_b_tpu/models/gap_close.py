@@ -338,24 +338,9 @@ def dbg_close_gap(gap: Gap, min_k=BRUIJN_MIN_KMER, max_k=BRUIJN_MAX_KMER,
     """GapCloseDBG.gapAssemble + closedGap(+Partial)."""
     if len(gap.head) < min_overlap or len(gap.tail) < min_overlap:
         return False
-    seqs = [gap.head, gap.tail] + gap.reads
-    if len(seqs) < 2:
-        return False
-
-    low = MiniDBG(min_k)
-    low.count(seqs, min_cov)
-    low.cut_branch_iterative()
     # merge: low-k unitigs re-k-merized into the high-k table
     # (mergeGraph + saveLargeKmerForGapClose, gapCloseDBG.h:166-258)
-    extra: dict[int, int] = {}
-    for seq, _nk, cov in low.unitigs():
-        for v in _kmer_ints(seq, max_k):
-            extra[v] = max(extra.get(v, 0), max(int(cov + 0.5), min_cov))
-    high = MiniDBG(max_k)
-    high.count(seqs, min_cov, extra=extra)
-    high.cut_branch_iterative()
-
-    units = [u for u, _nk, _c in high.unitigs()]
+    units = _assemble_gap_reads(gap, min_k, max_k, min_cov)
 
     # full closure: exactly one unitig must match BOTH flanks
     best = None
@@ -417,6 +402,64 @@ def dbg_close_gap(gap: Gap, min_k=BRUIJN_MIN_KMER, max_k=BRUIJN_MAX_KMER,
     gap.remained_gap = gap_len
     gap.state = PART_CLOSED
     return True
+
+
+def _assemble_gap_reads(gap: Gap, min_k=BRUIJN_MIN_KMER, max_k=BRUIJN_MAX_KMER,
+                        min_cov=MIN_COVERAGE):
+    """Dual-k assembly of a gap's read set; returns high-k unitigs."""
+    seqs = [gap.head, gap.tail] + gap.reads
+    low = MiniDBG(min_k)
+    low.count(seqs, min_cov)
+    low.cut_branch_iterative()
+    extra: dict[int, int] = {}
+    for seq, _nk, cov in low.unitigs():
+        for v in _kmer_ints(seq, max_k):
+            extra[v] = max(extra.get(v, 0), max(int(cov + 0.5), min_cov))
+    high = MiniDBG(max_k)
+    high.count(seqs, min_cov, extra=extra)
+    high.cut_branch_iterative()
+    return [u for u, _nk, _c in high.unitigs()]
+
+
+def dbg_extend_edge(gap: Gap, scaffold_len: int, min_overlap=32,
+                    max_miss_rate=0.01) -> bool:
+    """extendEdgeEntity (gapCloseDBG.h:689-741): extend a scaffold edge gap
+    with the minimum-miss-rate unitig overlapping the single flank."""
+    units = _assemble_gap_reads(gap)
+    best = None
+    best_rate = 1.0
+    best_len = 0
+    at_start = gap.start == 0
+    for u in units:
+        if not at_start:
+            ln, rate = _match_left(gap.head, u, min_overlap, max_miss_rate)
+        else:
+            ln, rate = _match_right(gap.tail, u, min_overlap, max_miss_rate)
+        if ln > 0 and rate < best_rate:
+            best, best_rate, best_len = u, rate, ln
+    if best is None or best_len == 0:
+        return False
+    ext = len(best) - best_len
+    if ext <= 0:
+        return False
+    if not at_start:
+        gap.closing_seq = best[best_len:].copy()
+    else:
+        gap.closing_seq = best[:ext].copy()
+    gap.closing_length = len(gap.closing_seq)
+    gap.state = CLOSED
+    return True
+
+
+def local_assemble_extra_contigs(gaps: list[Gap]) -> list[np.ndarray]:
+    """localAssemble (gapClose.cpp:1325-1361): assemble the read pools of
+    still-unclosed gaps; all resulting unitigs become _extraContig.fa."""
+    out = []
+    for g in gaps:
+        if g.state != UNCLOSED or not g.reads:
+            continue
+        out.extend(_assemble_gap_reads(g))
+    return out
 
 
 # ---------------------------------------------------------------------------
