@@ -1,57 +1,88 @@
-"""Headline benchmark: canonical k-mer counting throughput (k=32).
+"""Headline benchmark: canonical k-mer counting throughput, k=32.
+
+Workload: a deterministic synthetic 4 Mbp genome at 40x / 125 bp / 0.3%
+error (1.28 M reads, 160 Mbp, ~120 M k-mer windows) — the same dataset
+BASELINE.md's reference measurement uses (platanus_b v1.3.2
+`assemble -kmer_occ_only`, built from /root/reference, run on this host's
+CPU). Measures the FULL counting pipeline: per-batch extract+sort+reduce
+on device plus the streaming cross-batch merge — the reference's
+equivalent stage is its multi-pass striped-hash count.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-
-The reference publishes no numbers (SURVEY.md §6); the baseline is the
-reference binary's k-mer counting stage measured on this machine's CPU —
-see BASELINE.md "measured" section. BASELINE_KMERS_PER_S below is that
-measurement (reference `assemble -t 16` counting stage on the same
-synthetic read set; re-measured whenever the dataset changes).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-# reference platanus_b v1.3.2 `assemble` k-mer counting stage, 16 threads,
-# same synthetic read volume (see BASELINE.md) — k-mers/s
-BASELINE_KMERS_PER_S = 11.0e6
+# reference platanus_b v1.3.2 k-mer counting on this dataset (see
+# BASELINE.md "measured" section): wall seconds for the counting stage at
+# -t 2 (this host has 2 CPUs). kmers/s = N_WINDOWS / this.
+BASELINE_WALL_S = 561.0
 
 K = 32
-READ_LEN = 128
-NUM_READS = 1 << 17  # 128Ki reads x 128bp = 16.8 Mbp, ~12.7M windows/batch
-REPEATS = 5
+GENOME = 4_000_000
+READ_LEN = 125
+COVERAGE = 40
+ERROR = 0.003
+BATCH_READS = 1 << 17
+CACHE = "/tmp/platanus_b_tpu_bench_reads.npy"
+
+
+def make_reads() -> np.ndarray:
+    if os.path.exists(CACHE):
+        return np.load(CACHE)
+    rng = np.random.default_rng(123)
+    genome = rng.integers(0, 4, size=GENOME, dtype=np.uint8)
+    n_reads = GENOME * COVERAGE // READ_LEN
+    starts = rng.integers(0, GENOME - READ_LEN, size=n_reads)
+    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
+    flip = rng.random(n_reads) < 0.5
+    reads[flip] = 3 - reads[flip, ::-1]
+    mask = rng.random(reads.shape) < ERROR
+    reads[mask] = (reads[mask] + rng.integers(1, 4, size=int(mask.sum()))) % 4
+    np.save(CACHE, reads)
+    return reads
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from platanus_b_tpu.ops.count import count_batch
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/platanus_b_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
-    rng = np.random.default_rng(7)
-    codes = rng.integers(0, 4, size=(NUM_READS, READ_LEN), dtype=np.uint8)
-    x = jnp.asarray(codes)
+    from platanus_b_tpu.io.reads import ReadBatch
+    from platanus_b_tpu.models.assemble_core import count_reads
 
-    n_windows = NUM_READS * (READ_LEN - K + 1)
+    reads = make_reads()
+    n_reads = reads.shape[0]
+    n_windows = n_reads * (READ_LEN - K + 1)
+    batches = [ReadBatch(reads[i: i + BATCH_READS],
+                         np.full(min(BATCH_READS, n_reads - i), READ_LEN,
+                                 np.int32))
+               for i in range(0, n_reads, BATCH_READS)]
 
-    # warmup/compile
-    out = count_batch(x, K)
-    jax.block_until_ready(out)
+    # warmup: compile the batch kernels on a single batch
+    _ = count_reads(batches[:1], K)
 
     t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        out = count_batch(x, K)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / REPEATS
+    table, hist = count_reads(batches, K)
+    dt = time.perf_counter() - t0
 
     kmers_per_s = n_windows / dt
+    baseline = n_windows / BASELINE_WALL_S
     print(json.dumps({
         "metric": "kmer_count_throughput_k32",
         "value": round(kmers_per_s, 1),
         "unit": "kmers/s",
-        "vs_baseline": round(kmers_per_s / BASELINE_KMERS_PER_S, 3),
+        "vs_baseline": round(kmers_per_s / baseline, 3),
     }))
 
 

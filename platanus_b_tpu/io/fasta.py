@@ -111,6 +111,30 @@ def iter_reads(path: str) -> Iterator[tuple[str, str]]:
         yield from iter_fastq(path)
 
 
+def load_codes(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """All reads of a file as (codes (uint8 concat), starts (int64, n+1)).
+
+    Fast path: the native C++ decoder (platanus_b_tpu.native) over the
+    (decompressed) file image; falls back to the Python parsers.
+    """
+    fmt = sniff_format(path)
+    from .. import native
+    if native.available():
+        with open_maybe_compressed(path, "rb") as f:
+            data = f.read()
+        out = native.decode_reads(data, fmt)
+        if out is not None:
+            return out
+    seqs = [seq_to_codes(s) for _n, s in iter_reads(path)]
+    starts = np.zeros(len(seqs) + 1, dtype=np.int64)
+    if seqs:
+        np.cumsum([len(s) for s in seqs], out=starts[1:])
+        codes = np.concatenate(seqs)
+    else:
+        codes = np.zeros(0, np.uint8)
+    return codes, starts
+
+
 def seq_to_codes(seq: str) -> np.ndarray:
     """ACGT(N) string -> uint8 codes 0..4 (common.h:256 Char2Bin)."""
     raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)

@@ -67,18 +67,26 @@ def load_read_batches(paths: Iterable[str], batch_size: int = 1 << 16,
     """Stream reads from files as dense batches.
 
     This is the data-loader half of the reference's ReadFasta*MT loaders
-    (seqlib.cpp:365-741); sharding across devices happens downstream via
+    (seqlib.cpp:365-741); decode + 2-bit encode runs in the native C++
+    module when available; sharding across devices happens downstream via
     jax.sharding, not via per-thread files.
     """
-    buf: list[str] = []
+    from . import fasta as fa
+    from .. import native
     for path in paths:
-        for _name, seq in iter_reads(path):
-            buf.append(seq)
-            if len(buf) >= batch_size:
-                yield pack_reads(buf, max_len=max_len)
-                buf = []
-    if buf:
-        yield pack_reads(buf, max_len=max_len)
+        codes, starts = fa.load_codes(path)
+        n = len(starts) - 1
+        for b0 in range(0, max(n, 0), batch_size):
+            b1 = min(b0 + batch_size, n)
+            lens = (starts[b0 + 1: b1 + 1] - starts[b0: b1]).astype(np.int32)
+            if len(lens) == 0:
+                continue
+            lmax = int(lens.max()) if max_len is None else max_len
+            sub_codes = codes[starts[b0]: starts[b1]]
+            sub_starts = (starts[b0: b1 + 1] - starts[b0]).astype(np.int64)
+            mat = native.pack_rows(np.ascontiguousarray(sub_codes),
+                                   sub_starts, lmax)
+            yield ReadBatch(mat, np.minimum(lens, lmax))
 
 
 def load_paired_batches(fwd_path: str, rev_path: str | None,
