@@ -69,8 +69,12 @@ def main():
                                  np.int32))
                for i in range(0, n_reads, BATCH_READS)]
 
-    # warmup: compile the batch kernels on a single batch
-    _ = count_reads(batches[:1], K)
+    # warmup: one full pass compiles every shape the pipeline uses (the
+    # streaming-merge accumulator capacity grows with the data, so partial
+    # warmup misses shapes); the timed pass then measures steady-state
+    # throughput, not XLA compile time. Compilations also persist in the
+    # on-disk cache, so repeat runs skip the compile cost entirely.
+    _ = count_reads(batches, K)
 
     t0 = time.perf_counter()
     table, hist = count_reads(batches, K)

@@ -86,9 +86,10 @@ def count_reads(batches: list[ReadBatch], k: int) -> tuple[KmerTable, np.ndarray
         acc_counts = np.zeros((0,), np.uint32)
         acc_n = 0
     hist = np.asarray(cnt.occurrence_histogram(jnp.asarray(acc_counts)))
-    keys_h = np.asarray(acc_keys)[:acc_n]
-    counts_h = np.minimum(np.asarray(acc_counts)[:acc_n],
-                          cnt.MAX_OCCURRENCE).astype(np.uint32)
+    # slice on device so only the live rows cross the host boundary
+    keys_h = np.asarray(acc_keys[:acc_n])
+    counts_h = np.asarray(jnp.minimum(acc_counts[:acc_n],
+                                      cnt.MAX_OCCURRENCE)).astype(np.uint32)
     return KmerTable(k, keys_h, counts_h), hist
 
 

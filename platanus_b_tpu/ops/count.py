@@ -38,46 +38,81 @@ def sort_by_key(keys: jnp.ndarray, *payloads: jnp.ndarray):
     return (skeys,) + tuple(out[W:])
 
 
+def _run_marks(sorted_keys: jnp.ndarray):
+    """(valid, is_new, is_end) masks over sorted multiword keys.
+
+    SENTINEL (all-ones) rows sort last, so valid rows form a sorted prefix;
+    is_new marks the first row of each equal-key run, is_end the last.
+    """
+    valid = ~mw_eq(sorted_keys, jnp.full_like(sorted_keys, SENTINEL))
+    neq_next = ~mw_eq(sorted_keys[1:], sorted_keys[:-1])
+    is_new = jnp.concatenate([valid[:1], valid[1:] & neq_next])
+    is_end = valid & jnp.concatenate([neq_next,
+                                      jnp.ones((1,), dtype=bool)])
+    return valid, is_new, is_end
+
+
+def _compact_ends(sorted_keys: jnp.ndarray, is_end: jnp.ndarray,
+                  payload: jnp.ndarray):
+    """Move run-end rows (with payload) to the front, preserving order.
+
+    TPU-shaped compaction: a stable single-key sort on the is_end flag
+    replaces a random scatter (scatters serialize on TPU; sorts are fast).
+    """
+    W = sorted_keys.shape[-1]
+    rank = jnp.where(is_end, jnp.uint8(0), jnp.uint8(1))
+    ops = (rank,) + tuple(sorted_keys[:, w] for w in range(W)) + (payload,)
+    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    ckeys = jnp.stack(out[1:1 + W], axis=-1)
+    return ckeys, out[1 + W]
+
+
 def dedup_sum(sorted_keys: jnp.ndarray, sorted_counts: jnp.ndarray):
     """Collapse equal adjacent keys, summing counts.
 
     Returns (ukeys, ucounts, n_unique): unique keys packed at the front in
     sorted order (capacity = input length, tail filled with SENTINEL rows,
     zero counts). SENTINEL rows in the input sort last and are excluded.
+
+    Implementation is scatter-free: run totals fall out of the inclusive
+    cumsum evaluated at run ends (difference of adjacent end-cumsums), and
+    compaction is a stable flag sort (_compact_ends).
     """
     n = sorted_keys.shape[0]
-    valid = ~mw_eq(sorted_keys, jnp.full_like(sorted_keys, SENTINEL))
-    is_new = jnp.concatenate([
-        valid[:1],
-        valid[1:] & ~mw_eq(sorted_keys[1:], sorted_keys[:-1]),
-    ])
+    valid, is_new, is_end = _run_marks(sorted_keys)
     n_unique = jnp.sum(is_new.astype(jnp.int32))
-    # segment id per element; sentinels get the out-of-bounds id n and are
-    # dropped by the scatters below
-    seg = jnp.where(valid, jnp.cumsum(is_new.astype(jnp.int32)) - 1, n)
-    counts = sorted_counts.astype(jnp.uint32)
-    ucounts = jnp.zeros((n,), jnp.uint32).at[seg].add(counts, mode="drop")
-    ukeys = jnp.full_like(sorted_keys, SENTINEL).at[seg].set(
-        sorted_keys, mode="drop")
+    counts = jnp.where(valid, sorted_counts.astype(jnp.uint32), 0)
+    csum = jnp.cumsum(counts)
+    ckeys, ccsum = _compact_ends(sorted_keys, is_end, csum)
+    prev = jnp.concatenate([jnp.zeros((1,), ccsum.dtype), ccsum[:-1]])
+    in_range = jnp.arange(n, dtype=jnp.int32) < n_unique
+    ucounts = jnp.where(in_range, ccsum - prev, 0).astype(jnp.uint32)
+    ukeys = jnp.where(in_range[:, None], ckeys,
+                      jnp.full_like(ckeys, SENTINEL))
     return ukeys, ucounts, n_unique
 
 
 def dedup_max(sorted_keys: jnp.ndarray, sorted_vals: jnp.ndarray):
     """Like dedup_sum but keeps the MAX value per key — the merge rule of
     saveContig's next-k table inserts (graph.h:1760-1765: keep larger
-    occurrence)."""
+    occurrence). Segmented running max via associative_scan, then the same
+    scatter-free end compaction as dedup_sum."""
     n = sorted_keys.shape[0]
-    valid = ~mw_eq(sorted_keys, jnp.full_like(sorted_keys, SENTINEL))
-    is_new = jnp.concatenate([
-        valid[:1],
-        valid[1:] & ~mw_eq(sorted_keys[1:], sorted_keys[:-1]),
-    ])
+    valid, is_new, is_end = _run_marks(sorted_keys)
     n_unique = jnp.sum(is_new.astype(jnp.int32))
-    seg = jnp.where(valid, jnp.cumsum(is_new.astype(jnp.int32)) - 1, n)
-    vals = sorted_vals.astype(jnp.uint32)
-    uvals = jnp.zeros((n,), jnp.uint32).at[seg].max(vals, mode="drop")
-    ukeys = jnp.full_like(sorted_keys, SENTINEL).at[seg].set(
-        sorted_keys, mode="drop")
+    vals = jnp.where(valid, sorted_vals.astype(jnp.uint32), 0)
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf
+
+    run_max, _ = jax.lax.associative_scan(comb, (vals, is_new))
+    ckeys, cmax = _compact_ends(sorted_keys, is_end, run_max)
+    in_range = jnp.arange(n, dtype=jnp.int32) < n_unique
+    uvals = jnp.where(in_range, cmax, 0).astype(jnp.uint32)
+    ukeys = jnp.where(in_range[:, None], ckeys,
+                      jnp.full_like(ckeys, SENTINEL))
     return ukeys, uvals, n_unique
 
 
@@ -123,9 +158,20 @@ def occurrence_histogram(counts: jnp.ndarray) -> jnp.ndarray:
     Mirrors occurrenceDistribution (counter.h:209-212); occurrences are
     clipped to MAX_OCCURRENCE like the saturating u16 counter.
     """
-    occ = jnp.clip(counts, 0, MAX_OCCURRENCE).astype(jnp.int32)
-    return jnp.zeros((MAX_OCCURRENCE + 1,), jnp.int64 if jax.config.jax_enable_x64
-                     else jnp.int32).at[occ].add(jnp.where(counts > 0, 1, 0))
+    n = counts.shape[0]
+    occ = jnp.clip(counts, 0, MAX_OCCURRENCE).astype(jnp.uint32)
+    # sort-based binning: occurrence values as 1-word keys (zeros -> SENTINEL
+    # so they are excluded), dedup to (value, multiplicity) runs, then a tiny
+    # scatter over at most 65536 compacted rows — never over all n entries
+    keys = jnp.where(counts > 0, occ, jnp.uint32(SENTINEL))[:, None]
+    ones = (counts > 0).astype(jnp.uint32)
+    skeys, sones = sort_by_key(keys, ones)
+    vals, mult, _ = dedup_sum(skeys, sones)
+    m = min(n, MAX_OCCURRENCE + 1)
+    idx = jnp.where(vals[:m, 0] == SENTINEL,
+                    jnp.uint32(MAX_OCCURRENCE + 1), vals[:m, 0])
+    return jnp.zeros((MAX_OCCURRENCE + 1,), jnp.int32).at[idx].add(
+        mult[:m].astype(jnp.int32), mode="drop")
 
 
 def left_local_minimal_value(hist: np.ndarray, window_size: int = 1) -> int:
