@@ -17,13 +17,6 @@ from ..models.scaffold import ScaffoldGraph, mark_redundant_result_seq
 from ..utils.errors import ArgError
 from ..utils.log import LOG
 
-COMBINE_L_MIN = 10000
-COMBINE_L_MAX = 100000
-COMBINE_STEPS = 10
-COMBINE_TOLERENCE = 10000
-COMBINE_MIN_IDENTITY = 0.9
-
-
 def run_combine(args) -> int:
     from .solve_dbg_cmd import load_contigs, write_results
 
@@ -31,6 +24,12 @@ def run_combine(args) -> int:
         raise ArgError("solve_dbg -combine: no contig file given (-c)")
     if not args.gc:
         raise ArgError("solve_dbg -combine: no guide contigs given (-gc)")
+    # -combine_l/L/t/s/i (solveDBG.cpp:81-86)
+    COMBINE_L_MIN = getattr(args, "combine_l", 10000)
+    COMBINE_L_MAX = getattr(args, "combine_L", 100000)
+    COMBINE_STEPS = getattr(args, "combine_s", 10)
+    COMBINE_TOLERENCE = getattr(args, "combine_t", 10000)
+    COMBINE_MIN_IDENTITY = getattr(args, "combine_i", 0.9)
     names, seqs, covs, read_len, max_k = load_contigs(args.c)
 
     guides, gnames = [], []

@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
         orchestrators.add_parsers(sub)
     except ImportError:
         pass
+    try:
+        from . import combine_cmd
+        combine_cmd.add_parser(sub)
+    except ImportError:
+        pass
     return parser
 
 

@@ -52,14 +52,18 @@ def add_parsers(sub) -> None:
     c.add_argument("-reduce_redundancy", action="store_true")
     c.set_defaults(func=run_consensus)
 
-    p = sub.add_parser("phase", help="phasing rounds (consensus subset)")
+    p = sub.add_parser("phase", help="haplotype phasing pipeline")
     p.add_argument("-o", default="out")
     p.add_argument("-c", nargs="+", default=[])
+    p.add_argument("-b", nargs="+", default=[], help="bubble FASTA files")
     p.add_argument("-i", type=int, default=2)
     p.add_argument("-p", nargs="+", default=[])
     p.add_argument("-ont", nargs="+", default=[])
+    p.add_argument("-x", nargs="+", default=[])
+    p.add_argument("-X", nargs="+", default=[])
     p.add_argument("-t", type=int, default=1)
     p.add_argument("-tmp", default=".")
+    p.add_argument("-reduce_redundancy", action="store_true")
     p.set_defaults(func=run_phase)
 
 
@@ -88,24 +92,67 @@ def run_consensus(args) -> int:
 
 
 def run_phase(args) -> int:
-    """phase.cpp:112-139: rounds of solve_DBG + gap_close.
+    """phase.cpp:112-155: rounds of solve_DBG (phasing flow) + gap_close.
 
-    Round-1 deviation (documented): uses the consensus (-unphase) flow;
-    haplotype phasing outputs (_primaryBubble.fa etc.) are not produced.
+    Per round (phase.cpp:165-283): round 1 feeds -c/-b straight through;
+    later rounds feed the previous round's gap-closed nonBubbleOther as
+    contigs and gap-closed primary/secondary bubbles as -b. Long reads
+    (-p/-ont) join from round 2 on. The final round's gap-closed files are
+    renamed to the published outputs and concatenated into
+    PREFIX_allPhaseBlock.fa (phase.cpp:287-308).
     """
+    import shutil
+
     if not args.c:
         raise ArgError("phase: no contig file given (-c)")
     libargv = _lib_argv(getattr(args, "libspecs", []))
-    current = args.c
-    for t in range(1, args.i + 1):
-        prefix = f"{args.o}_phase{t}"
-        _call(["solve_dbg", "-unphase", "-reduce_redundancy", "-c"]
-              + current + ["-o", prefix] + libargv, f"phase round {t}")
-        _call(["gap_close", "-reduce_redundancy",
-               "-c", f"{prefix}_consensusScaffold.fa",
-               "-o", prefix] + libargv, f"phase gap_close {t}")
-        current = [f"{prefix}_gapClosed_consensusScaffold.fa"]
-    import shutil
-    shutil.copyfile(current[0], f"{args.o}_finalSeq.fa")
+    red = ["-reduce_redundancy"] if args.reduce_redundancy else []
+    inter = f"{args.o}_intermediateResults"
+    os.makedirs(inter, exist_ok=True)
+    num_iterate = args.i + (1 if args.p or args.ont else 0)
+
+    prev_prefix = None
+    for t in range(1, num_iterate + 1):
+        rdir = f"{inter}/round{t}"
+        os.makedirs(rdir, exist_ok=True)
+        prefix = f"{rdir}/{args.o}"
+        if t == 1:
+            cargs = ["-c"] + args.c + ((["-b"] + args.b) if args.b else [])
+        else:
+            cargs = ["-c", f"{prev_prefix}_gapClosed_nonBubbleOther.fa",
+                     "-b", f"{prev_prefix}_gapClosed_primaryBubble.fa",
+                     f"{prev_prefix}_gapClosed_secondaryBubble.fa"]
+        long_argv = []
+        if args.x:
+            long_argv += ["-x"] + args.x
+        if args.X:
+            long_argv += ["-X"] + args.X
+        if t > 1:
+            if args.p:
+                long_argv += ["-p"] + args.p
+            if args.ont:
+                long_argv += ["-ont"] + args.ont
+        _call(["solve_dbg"] + cargs + ["-o", prefix] + long_argv + red
+              + libargv, f"phase solve_dbg round {t}")
+        _call(["gap_close",
+               "-c", f"{prefix}_primaryBubble.fa",
+               f"{prefix}_secondaryBubble.fa",
+               f"{prefix}_nonBubbleOther.fa",
+               f"{prefix}_nonBubbleHetero.fa",
+               "-o", prefix] + red + libargv, f"phase gap_close round {t}")
+        prev_prefix = prefix
+
+    # moveAndConcatenateFinalRoundResult (phase.cpp:287-308)
+    finals = [("primaryBubble", f"{args.o}_primaryBubble.fa"),
+              ("secondaryBubble", f"{args.o}_secondaryBubble.fa"),
+              ("nonBubbleHetero", f"{args.o}_nonBubbleHetero.fa"),
+              ("nonBubbleOther", f"{args.o}_nonBubbleHomoCandidate.fa")]
+    for tag, dst in finals:
+        shutil.copyfile(f"{prev_prefix}_gapClosed_{tag}.fa", dst)
+    with open(f"{args.o}_allPhaseBlock.fa", "w") as out:
+        for _tag, dst in finals:
+            with open(dst) as f:
+                shutil.copyfileobj(f, out)
     LOG.info("phase completed!")
+    LOG.report_memory()
     return 0

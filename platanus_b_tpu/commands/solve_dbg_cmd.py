@@ -34,6 +34,14 @@ def add_parser(sub) -> None:
     p.add_argument("-p", nargs="+", default=[], help="PacBio long reads")
     p.add_argument("-ont", nargs="+", default=[], help="ONT long reads")
     p.add_argument("-gc", nargs="+", default=[], help="guide contigs")
+    p.add_argument("-x", nargs="+", default=[],
+                   help="tagged pair files, interleaved (10x Genomics)")
+    p.add_argument("-X", nargs="+", default=[],
+                   help="tagged pair files, fwd rev (10x Genomics)")
+    p.add_argument("-L", type=int, default=200000,
+                   help="max fragment length of tag (10x)")
+    p.add_argument("-masked", nargs="+", default=[],
+                   help="masked contig files (parity)")
     p.add_argument("-s", nargs="+", type=int, default=[32],
                    help="mapping seed lengths")
     p.add_argument("-l", type=int, default=3, help="min links to scaffold")
@@ -45,6 +53,12 @@ def add_parser(sub) -> None:
     p.add_argument("-tmp", default=".", help="tmp dir (parity)")
     p.add_argument("-unphase", action="store_true", help="consensus mode")
     p.add_argument("-combine", action="store_true", help="combine mode")
+    p.add_argument("-combine_l", type=int, default=10000)
+    p.add_argument("-combine_L", type=int, default=100000)
+    p.add_argument("-combine_t", type=int, default=10000)
+    p.add_argument("-combine_s", type=int, default=10)
+    p.add_argument("-combine_g", type=int, default=100000)
+    p.add_argument("-combine_i", type=float, default=0.9)
     p.add_argument("-divide_only", action="store_true", help="divide mode")
     p.add_argument("-reduce_redundancy", action="store_true",
                    help="drop contained output sequences")
@@ -141,7 +155,8 @@ def join_unambiguous_overlaps(graph: ScaffoldGraph) -> None:
 def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                 min_link: int = 3, min_overlap_scaf: int = 32,
                 seed_lengths=(32,), reduce_redundancy: bool = False,
-                trim_overlap: bool = False, long_read_paths=()):
+                trim_overlap: bool = False, long_read_paths=(),
+                tag_x_paths=(), tag_xx_paths=()):
     names, seqs, covs, read_len, max_k = load_contigs(contig_paths)
     if not seqs:
         raise ArgError("solve_dbg: empty contig input")
@@ -201,7 +216,31 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                                         read_records.values()]))
         LOG.counter("MAPPED_READ", len(read_records))
 
+    # tagged (10x) libraries: map once onto contigs; counts are lifted to
+    # nodes per round (solveDBG.cpp:724-728,768-770)
+    if tag_x_paths or tag_xx_paths:
+        LOG.info("[TAG_LIBRARY]")
+        tag_lib = seqlib.load_tag_library(list(tag_x_paths),
+                                          list(tag_xx_paths))
+        graph.set_contig_tag_counts(*seqlib.count_mapped_tag_for_each_contig(
+            index, tag_lib, seed_lengths=tuple(seed_lengths)))
+
     join_unambiguous_overlaps(graph)
+
+    # cross-structure resolution per library (extendConsensus cross-solving
+    # block, solveDBG.cpp:1300-1336; LINK mode, then TAG mode when tags
+    # are loaded — pairedDBG.cpp:1543-1640)
+    for li, lib in enumerate(libs):
+        graph.lib = lib
+        graph.pairs = mapped[li]
+        graph.tolerence = max(int(3 * lib.sd_insert), max_k)
+        graph.min_link = min_link
+        graph.make_graph()
+        graph.solve_simple_cross_structure_iterative(
+            0.25, "link", rebuild=graph.make_graph)
+        if graph.contig_tag is not None:
+            graph.solve_simple_cross_structure_iterative(
+                0.25, "tag", rebuild=graph.make_graph)
 
     # consensus scaffolding rounds (extendConsensus scaffolding block,
     # solveDBG.cpp:1338-1372)
@@ -225,6 +264,8 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                     else:
                         graph.delete_thin_edge(min_link)
                     graph.delete_erroneous_edge_iterative()
+                    # tag-rate edge cleaning (solveDBG.cpp:1359-1360)
+                    graph.delete_erroneous_edge_num_tag_rate_iterative()
                     if iteration > 0:
                         graph.min_link = min_link
                         graph.delete_repeat_edge()
@@ -265,17 +306,72 @@ def write_results(results, out_prefix: str, suffix: str, comp_suffix: str):
     return len(recs)
 
 
+def run_phasing(args) -> int:
+    """Default (phasing) flow: scaffold, then partition results into
+    primary/secondary bubble pairs and hetero/other blocks
+    (solveDBG.cpp:266-637 subset; outputs per pairedDBG.cpp:2296-2394)."""
+    from ..models.phasing import classify_phase_blocks, write_phase_outputs
+
+    names, seqs, covs, read_len, max_k = load_contigs(args.c)
+    if args.no_scaffold:
+        # classify the input contigs directly (-no_scaffold outputs the
+        # *Contig.fa variants, solveDBG.cpp:628-631)
+        from ..models.scaffold import ResultSeq
+        results = [ResultSeq(seq=s, name=n, component="")
+                   for n, s in zip(names, seqs)]
+        graph_avg = float(np.average(covs, weights=[len(s) for s in seqs]) \
+                          if len(seqs) else 0.0)
+        suffixes = ("_primaryBubbleContig.fa", "_secondaryBubbleContig.fa",
+                    "_nonBubbleHeteroContig.fa", "_nonBubbleOtherContig.fa",
+                    "_bubbleContigRelation.tsv")
+    else:
+        results, g = run_unphase(
+            args.c, getattr(args, "libspecs", []), args.o,
+            min_link=args.l, min_overlap_scaf=args.v,
+            seed_lengths=tuple(args.s),
+            reduce_redundancy=args.reduce_redundancy,
+            trim_overlap=args.trim_overlap,
+            long_read_paths=tuple(args.p) + tuple(args.ont),
+            tag_x_paths=tuple(args.x), tag_xx_paths=tuple(args.X))
+        graph_avg = g.average_coverage
+        suffixes = ("_primaryBubble.fa", "_secondaryBubble.fa",
+                    "_nonBubbleHetero.fa", "_nonBubbleOther.fa",
+                    "_bubbleRelation.tsv")
+
+    bubbles = []
+    for path in args.b:
+        if not os.path.exists(path):
+            raise IOError_(f"cannot open file: {path}")
+        for n, s in fa.iter_fasta(path):
+            bubbles.append((fa.parse_cov(n), fa.seq_to_codes(s)))
+
+    pairs, hetero_ids, other_ids, blocks = classify_phase_blocks(
+        results, bubbles, graph_avg)
+    write_phase_outputs(args.o, pairs, hetero_ids, other_ids, blocks,
+                        read_len, max_k, suffixes=suffixes)
+    with open(args.o + "_phasedScaffoldComponent.bed", "w") as f:
+        for r in results:
+            if not r.redundant:
+                f.write(r.component)
+    LOG.counter("NUM_OUTPUT_SEQ", 2 * len(pairs) + len(hetero_ids)
+                + len(other_ids))
+    LOG.info("solve_DBG completed!")
+    LOG.report_memory()
+    return 0
+
+
 def run(args) -> int:
     if not args.c:
         raise ArgError("solve_dbg: no contig file given (-c)")
-    if args.unphase or not (args.combine or args.divide_only):
+    if args.unphase:
         results, _g = run_unphase(
             args.c, getattr(args, "libspecs", []), args.o,
             min_link=args.l, min_overlap_scaf=args.v,
             seed_lengths=tuple(args.s),
             reduce_redundancy=args.reduce_redundancy,
             trim_overlap=args.trim_overlap,
-            long_read_paths=tuple(args.p) + tuple(args.ont))
+            long_read_paths=tuple(args.p) + tuple(args.ont),
+            tag_x_paths=tuple(args.x), tag_xx_paths=tuple(args.X))
         n = write_results(results, args.o, "_consensusScaffold.fa",
                           "_consensusScaffoldComponent.bed")
         LOG.counter("NUM_OUTPUT_SEQ", n)
@@ -288,4 +384,4 @@ def run(args) -> int:
     if args.combine:
         from .combine_impl import run_combine
         return run_combine(args)
-    return 0
+    return run_phasing(args)

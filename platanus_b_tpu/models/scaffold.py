@@ -45,6 +45,8 @@ MAX_TOL_FACTOR = 2
 # loadResultSeq (pairedDBG.cpp:2050-2051)
 MIN_GAP_LENGTH = 10
 MIN_OVERLAP_TO_JOIN = 32
+# scaffoldGraph.cpp:48
+MIN_NUM_MAPPED_TAG = 3
 
 
 @dataclass
@@ -101,6 +103,8 @@ class ScaffoldGraph:
         # per-library state set by the driver
         self.lib: PairLibrary | None = None
         self.pairs: MappedPairs | None = None
+        # 10x tag counts per (tag, contig) — set by set_contig_tag_counts
+        self.contig_tag: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
     # -- node coverage (calcNodeCoverage: length-weighted contig coverage) --
     def node_coverage(self, n: GraphNode) -> float:
@@ -557,6 +561,235 @@ class ScaffoldGraph:
             if n == 0:
                 break
             total += n
+        return total
+
+    # ------------------------------------------------------------------
+    # 10x tag edges (countMappedTagForEachScaffold scaffoldGraph.cpp:593,
+    # deleteErroneousEdgeNumTagRate pairedDBG.cpp:4458-4515)
+    # ------------------------------------------------------------------
+    def set_contig_tag_counts(self, tag_ids: np.ndarray,
+                              contig_idx: np.ndarray,
+                              counts: np.ndarray) -> None:
+        self.contig_tag = (np.asarray(tag_ids, np.int64),
+                           np.asarray(contig_idx, np.int64),
+                           np.asarray(counts, np.int64))
+
+    def _node_tag_counts(self) -> list[dict]:
+        """Lift per-(tag, contig) counts onto current nodes, dropping tags
+        mapped < MIN_NUM_MAPPED_TAG times (scaffoldGraph.cpp:48,604)."""
+        node_tags: list[dict] = [dict() for _ in self.node]
+        if self.contig_tag is None:
+            return node_tags
+        tag_ids, contig_idx, counts = self.contig_tag
+        nid = self.contig_pos_id[contig_idx]
+        keep = nid != 0
+        ni = np.abs(nid[keep]) - 1
+        for n, t, c in zip(ni, tag_ids[keep], counts[keep]):
+            d = node_tags[n]
+            d[t] = d.get(t, 0) + int(c)
+        for d in node_tags:
+            for t in [t for t, c in d.items() if c < MIN_NUM_MAPPED_TAG]:
+                del d[t]
+        return node_tags
+
+    def get_common_tag(self, id1: int, id2: int, node_tags) -> int:
+        """getCommonTagBetweenNodePair (scaffoldGraph.cpp:~500): sum of
+        min counts over tags shared by both nodes."""
+        d1 = node_tags[abs(id1) - 1]
+        d2 = node_tags[abs(id2) - 1]
+        if len(d1) > len(d2):
+            d1, d2 = d2, d1
+        return sum(min(c, d2[t]) for t, c in d1.items() if t in d2)
+
+    def delete_erroneous_edge_num_tag_rate(self) -> int:
+        """deleteErroneousEdgeNumTagRate (pairedDBG.cpp:4458-4499):
+        among conflicting edge pairs, delete the side whose common-tag
+        count is < 0.125 x the other side's."""
+        RATE_THRESHOLD = 0.125
+        node_tags = self._node_tag_counts()
+        ids = []
+        for ni, n in enumerate(self.node):
+            for a in range(len(n.edges) - 1):
+                for b in range(a + 1, len(n.edges)):
+                    e1, e2 = n.edges[a], n.edges[b]
+                    n1 = self.node[abs(e1.end) - 1]
+                    n2 = self.node[abs(e2.end) - 1]
+                    if not self._check_delete_edge(e1, e2, n1, n2):
+                        continue
+                    t1 = self.get_common_tag(ni + 1, e1.end, node_tags)
+                    t2 = self.get_common_tag(ni + 1, e2.end, node_tags)
+                    if t1 < RATE_THRESHOLD * t2:
+                        ids.append((ni + 1, e1.end))
+                    elif t2 < RATE_THRESHOLD * t1:
+                        ids.append((ni + 1, e2.end))
+        self.delete_edges(ids)
+        return len(ids)
+
+    def delete_erroneous_edge_num_tag_rate_iterative(self) -> int:
+        if self.contig_tag is None:
+            return 0
+        LOG.info("removing erroneous edges using tags ...")
+        total = 0
+        while True:
+            n = self.delete_erroneous_edge_num_tag_rate()
+            LOG.counter("NUM_REMOVED_EDGES_BY_TAG", n)
+            if n == 0:
+                break
+            total += n
+        return total
+
+    # ------------------------------------------------------------------
+    # cross-structure resolution (solveSimpleCrossStructure,
+    # pairedDBG.cpp:1543-1640 + 2405-2452)
+    # ------------------------------------------------------------------
+    def _oriented_parts(self, nid: int) -> list:
+        n = self.node[abs(nid) - 1]
+        if nid > 0:
+            return list(n.contigs)
+        L = n.length
+        return [(-cid, L - ed, L - st) for cid, st, ed in reversed(n.contigs)]
+
+    def _node_overlap_adjacency(self):
+        """Node-level overlap neighbors from the contig overlap table:
+        adj[signed node id] = right-end overlap successors (getOverlappedNode
+        equivalent over current nodes)."""
+        end_owner: dict[int, int] = {}
+        left_owner: dict[int, int] = {}
+        for ni, n in enumerate(self.node):
+            if n.state & SC_DEL or not n.contigs:
+                continue
+            nid = ni + 1
+            end_owner[n.contigs[-1][0]] = nid
+            end_owner[-n.contigs[0][0]] = -nid
+            left_owner[n.contigs[0][0]] = nid
+            left_owner[-n.contigs[-1][0]] = -nid
+        adj: dict[int, set] = {}
+        for (a, b), ov in self.overlap_table.items():
+            if ov < self.min_overlap:
+                continue
+            for x, y in ((a, b), (-b, -a)):
+                n1 = end_owner.get(x)
+                n2 = left_owner.get(y)
+                if n1 is None or n2 is None or abs(n1) == abs(n2):
+                    continue
+                adj.setdefault(n1, set()).add(n2)
+                adj.setdefault(-n2, set()).add(-n1)
+        return adj
+
+    def _num_link_between(self, id1: int, id2: int) -> int:
+        """getNumLinkFromIDPair: PE links between the node pair (direction
+        sign-insensitive; evidence only)."""
+        return sum(e.num_link for e in self.node[abs(id1) - 1].edges
+                   if abs(e.end) == abs(id2))
+
+    def solve_simple_cross_structure(self, link_rate_threshold: float = 0.25,
+                                     resolution: str = "link") -> int:
+        """Split high-coverage cross nodes (2 overlap-neighbors each side,
+        hetero-coverage externals) along the dominant haplotype pairing.
+        The center node is DUPLICATED into both resolved chains."""
+        from .phasing import HETERO_COVERAGE_THRESHOLD_FACTOR
+
+        cov_threshold = (HETERO_COVERAGE_THRESHOLD_FACTOR
+                         * self.average_coverage / 2.0)
+        adj = self._node_overlap_adjacency()
+        node_tags = (self._node_tag_counts() if resolution == "tag"
+                     and self.contig_tag is not None else None)
+        consumed = set()
+        chains = []
+        for ci, center in enumerate(self.node):
+            if center.state & SC_DEL or not center.contigs:
+                continue
+            if self.node_coverage(center) < cov_threshold:
+                continue
+            rights = sorted(adj.get(ci + 1, ()))
+            lefts = sorted(adj.get(-(ci + 1), ()))
+            if len(rights) != 2 or len(lefts) != 2:
+                continue
+            # externals: lefts point away from center; flip to center-ward
+            ext = [[-lefts[0], -lefts[1]], list(rights)]
+            ids = {abs(x) for row in ext for x in row}
+            if len(ids) != 4 or (ci + 1) in ids:
+                continue
+            # each external's center-ward side must reach only the center
+            # (getOverlappedNode(external, sign) size check)
+            ok = True
+            for x in ext[0]:           # left: its right end faces center
+                if len(adj.get(x, ())) >= 2:
+                    ok = False
+            for x in ext[1]:           # right: its left end faces center
+                if len(adj.get(-x, ())) >= 2:
+                    ok = False
+            if not ok:
+                continue
+            covs = [self.node_coverage(self.node[abs(x) - 1])
+                    for row in ext for x in row]
+            if min(covs) > cov_threshold:
+                continue
+            if any(abs(x) - 1 in consumed for row in ext for x in row) \
+                    or ci in consumed:
+                continue
+            s = [0, 0]   # s[1]: same-index pairing, s[0]: cross pairing
+            for li in range(2):
+                for ri in range(2):
+                    if node_tags is not None:
+                        ev = self.get_common_tag(ext[0][li], ext[1][ri],
+                                                 node_tags)
+                    else:
+                        ev = self._num_link_between(ext[0][li], ext[1][ri])
+                    s[li == ri] += ev
+            if resolution in ("link", "tag") and max(s) < self.min_link:
+                continue
+            if link_rate_threshold * s[0] >= s[1]:
+                cross = 1
+            elif link_rate_threshold * s[1] >= s[0]:
+                cross = 0
+            else:
+                continue
+            for j in range(2):
+                chains.append((ext[0][j], ci + 1, ext[1][(j + cross) % 2]))
+            consumed.add(ci)
+            consumed.update(abs(x) - 1 for row in ext for x in row)
+
+        if not chains:
+            return 0
+        new_nodes = []
+        for ni, n in enumerate(self.node):
+            if ni not in consumed and not (n.state & SC_DEL) and n.contigs:
+                new_nodes.append(list(n.contigs))
+        for l, x, r in chains:
+            parts = []
+            pos = 0
+            prev = None
+            for nid in (l, x, r):
+                op = self._oriented_parts(nid)
+                if prev is not None:
+                    pos -= self.scaffold_overlap(prev, nid)
+                base = pos
+                for cid, st, ed in op:
+                    parts.append((cid, base + st, base + ed))
+                pos = base + max(ed for _c, _s, ed in op)
+                prev = nid
+            new_nodes.append(parts)
+        self._remake(new_nodes)
+        LOG.counter("NUM_RESOLVED_CROSSES", len(chains) // 2)
+        return len(chains) // 2
+
+    def solve_simple_cross_structure_iterative(
+            self, link_rate_threshold: float = 0.25,
+            resolution: str = "link", rebuild=None) -> int:
+        """Fixed-point loop (solveSimpleCrossStructureIterative,
+        pairedDBG.cpp:2405-2452). `rebuild` re-makes PE edges after each
+        round since _remake renumbers nodes (makeGraph in the reference)."""
+        LOG.info("solving simple cross structures...")
+        total = 0
+        while True:
+            n = self.solve_simple_cross_structure(link_rate_threshold,
+                                                  resolution)
+            if n == 0:
+                break
+            total += n
+            if rebuild is not None:
+                rebuild()
         return total
 
     def delete_repeat_edge(self) -> None:
