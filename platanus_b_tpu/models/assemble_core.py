@@ -57,12 +57,15 @@ def _pad_codes(codes: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
-def count_reads(batches: list[ReadBatch], k: int) -> tuple[KmerTable, np.ndarray]:
-    """Count canonical k-mers over all read batches.
+def count_reads_device(batches: list[ReadBatch], k: int):
+    """Count canonical k-mers over all read batches, table left in HBM.
 
-    Returns (table, histogram). A streaming on-device merge (sorted tables
-    sliced to power-of-two capacities between rounds) replaces the
-    reference's out-of-core spill passes (counter.h:341-364).
+    Returns (keys, counts, n, histogram) with keys/counts device-resident
+    (capacity-padded, SENTINEL tails). A streaming on-device merge (sorted
+    tables sliced to power-of-two capacities between rounds) replaces the
+    reference's out-of-core spill passes (counter.h:341-364). The table
+    stays on device because its consumers — occurrence filtering and DBG
+    construction — run there; only the tiny histogram crosses to host.
     """
     from ..ops.padding import next_pow2
     acc_keys = acc_counts = None
@@ -82,10 +85,17 @@ def count_reads(batches: list[ReadBatch], k: int) -> tuple[KmerTable, np.ndarray
             cap = min(next_pow2(acc_n), mk.shape[0])
             acc_keys, acc_counts = mk[:cap], mc[:cap]
     if acc_keys is None:
-        acc_keys = np.zeros((0, num_words(k)), np.uint32)
-        acc_counts = np.zeros((0,), np.uint32)
+        acc_keys = jnp.zeros((0, num_words(k)), jnp.uint32)
+        acc_counts = jnp.zeros((0,), jnp.uint32)
         acc_n = 0
-    hist = np.asarray(cnt.occurrence_histogram(jnp.asarray(acc_counts)))
+    hist = np.asarray(cnt.occurrence_histogram(acc_counts))
+    return acc_keys, acc_counts, acc_n, hist
+
+
+def count_reads(batches: list[ReadBatch], k: int) -> tuple[KmerTable, np.ndarray]:
+    """count_reads_device + host materialization (for consumers that need
+    the full table as numpy: kmer_occ.bin export, next-k table merges)."""
+    acc_keys, acc_counts, acc_n, hist = count_reads_device(batches, k)
     # slice on device so only the live rows cross the host boundary
     keys_h = np.asarray(acc_keys[:acc_n])
     counts_h = np.asarray(jnp.minimum(acc_counts[:acc_n],
@@ -411,6 +421,15 @@ def build_dbg_from_table(table: KmerTable, cutoff: int) -> DBG:
     return DBG(table.k, table.keys[keep], table.counts[keep])
 
 
+def build_dbg_from_device(k: int, keys, counts, n: int, cutoff: int) -> DBG:
+    """loadKmer on a device-resident table: occurrence filter + compaction
+    on device, then a zero-copy DBG — the initial-k table (the largest
+    array of the whole pipeline) never crosses the host boundary."""
+    fkeys, fcounts, n_keep = cnt.filter_by_count(
+        keys, counts, jnp.int32(n), jnp.uint32(cutoff))
+    return DBG(k, fkeys, fcounts, n=int(n_keep))
+
+
 # ---------------------------------------------------------------------------
 # full pipeline
 # ---------------------------------------------------------------------------
@@ -458,7 +477,7 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
     # ---- initial k counting (initialKmerAssemble, assemble.cpp:303-386)
     k0 = opts.k
     with LOG.stage(f"K = {k0}, saving kmers from reads"):
-        table, hist = count_reads(batches, k0)
+        dev_keys, dev_counts, dev_n, hist = count_reads_device(batches, k0)
     hist0 = hist
 
     cutoff0 = cnt.coverage_cutoff(hist, manual=opts.manual_cutoff,

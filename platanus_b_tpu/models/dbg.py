@@ -261,14 +261,24 @@ class DBG:
     """
 
     def __init__(self, k: int, keys, counts, n: int | None = None):
-        keys = np.asarray(keys)
-        counts = np.asarray(counts, dtype=np.uint32)
         self.k = k
-        self.n = int(n if n is not None else keys.shape[0])
-        cap = next_pow2(self.n)
-        self.keys = jnp.asarray(pad_rows(keys[: self.n],
-                                         cap, np.uint32(0xFFFFFFFF)))
-        self.counts = jnp.asarray(pad_rows(counts[: self.n], cap, 0))
+        if (isinstance(keys, jax.Array) and n is not None
+                and keys.shape[0] >= next_pow2(int(n))):
+            # device-resident input (e.g. from ops.count.filter_by_count):
+            # tails are already SENTINEL/0, so slicing to capacity avoids a
+            # host round trip of the whole table
+            self.n = int(n)
+            cap = next_pow2(self.n)
+            self.keys = keys[:cap]
+            self.counts = counts[:cap].astype(jnp.uint32)
+        else:
+            keys = np.asarray(keys)
+            counts = np.asarray(counts, dtype=np.uint32)
+            self.n = int(n if n is not None else keys.shape[0])
+            cap = next_pow2(self.n)
+            self.keys = jnp.asarray(pad_rows(keys[: self.n],
+                                             cap, np.uint32(0xFFFFFFFF)))
+            self.counts = jnp.asarray(pad_rows(counts[: self.n], cap, 0))
         self.alive = jnp.arange(cap) < self.n
         self._topo = None
         self._unitigs = None

@@ -145,6 +145,31 @@ def merge_counts(keys_a, counts_a, keys_b, counts_b):
     return dedup_sum(skeys, scounts)
 
 
+@jax.jit
+def filter_by_count(keys: jnp.ndarray, counts: jnp.ndarray,
+                    n: jnp.ndarray, cutoff: jnp.ndarray):
+    """Compact rows with count >= cutoff to the front, on device.
+
+    The device-resident form of loadKmer's occurrence filter
+    (counter.h:600-640). Same stable flag-sort compaction as
+    _compact_ends; dropped/tail rows become SENTINEL keys with zero
+    counts, so the result slices directly into a DBG capacity buffer
+    without a host round trip.
+    """
+    m = keys.shape[0]
+    keep = (jnp.arange(m, dtype=jnp.int32) < n) & (counts >= cutoff)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    rank = jnp.where(keep, jnp.uint8(0), jnp.uint8(1))
+    W = keys.shape[-1]
+    ops = (rank,) + tuple(keys[:, w] for w in range(W)) + (counts,)
+    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    in_range = jnp.arange(m, dtype=jnp.int32) < n_keep
+    fkeys = jnp.where(in_range[:, None], jnp.stack(out[1:1 + W], axis=-1),
+                      jnp.uint32(SENTINEL))
+    fcounts = jnp.where(in_range, out[1 + W], 0)
+    return fkeys, fcounts, n_keep
+
+
 def compact_host(ukeys, ucounts, n_unique) -> tuple[np.ndarray, np.ndarray]:
     """Trim padded capacity to the true unique count (host-side)."""
     n = int(n_unique)
