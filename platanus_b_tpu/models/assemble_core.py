@@ -498,10 +498,15 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
         opts.min_coverage, k0, cutoff0, opts.step, opts.max_k_ratio)
 
     if opts.kmer_occ_only:
+        # materialize the device table only on this export-only path
+        keys_h = np.asarray(dev_keys[:dev_n])
+        counts_h = np.asarray(jnp.minimum(dev_counts[:dev_n],
+                                          cnt.MAX_OCCURRENCE)).astype(np.uint32)
+        table = KmerTable(k0, keys_h, counts_h)
         return AssembleResult([], [], [], [], [], average_length, k0,
                               kmer_table=table, hist0=hist0, k0=k0)
 
-    dbg = build_dbg_from_table(table, cutoffs[0])
+    dbg = build_dbg_from_device(k0, dev_keys, dev_counts, dev_n, cutoffs[0])
     clean.cut_branch_iterative(dbg, opts.branch_threshold)
     if not opts.fixed_average_coverage:
         average_coverage = clean.average_coverage_excluding_bubble(dbg)
