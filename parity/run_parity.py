@@ -1,0 +1,211 @@
+"""Reference-parity harness: run platanus_b v1.3.2 and platanus_b_tpu on
+the same simulated dataset and compare assembly outputs.
+
+Oracle per BASELINE.md: output *order* is nondeterministic in the
+reference (OpenMP + hash iteration), so parity is defined on the sorted
+canonical sequence set — we record the sha256 of the sorted canonical
+sequences plus N50 / #seqs / total bp for both sides, and
+genome-truth metrics (fraction of contigs that are exact substrings of
+the simulated genome, and genome coverage by the contig set).
+
+Usage:
+  python parity/run_parity.py --genome-size 1000000 --ref-bin /tmp/refbuild/platanus_b
+  python parity/run_parity.py --count-baseline --ref-bin /tmp/refbuild/platanus_b
+
+The second form measures the reference's k-mer-counting wall clock
+(`assemble -kmer_occ_only`) on bench.py's exact 4 Mbp dataset and writes
+parity/COUNT_BASELINE.json — the citable source for bench.py's
+BASELINE_WALL_S.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+COMP = str.maketrans("ACGTN", "TGCAN")
+
+
+def rc(s: str) -> str:
+    return s.translate(COMP)[::-1]
+
+
+def canon(s: str) -> str:
+    r = rc(s)
+    return s if s <= r else r
+
+
+def read_fasta(path: str) -> list[str]:
+    seqs: list[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                seqs.append("")
+            else:
+                seqs[-1] += line.upper()
+    return seqs
+
+
+def seq_set_stats(seqs: list[str]) -> dict:
+    lens = sorted((len(s) for s in seqs), reverse=True)
+    total = sum(lens)
+    half, acc, n50 = total / 2, 0, 0
+    for L in lens:
+        acc += L
+        if acc >= half:
+            n50 = L
+            break
+    canon_sorted = sorted(canon(s) for s in seqs)
+    h = hashlib.sha256("\n".join(canon_sorted).encode()).hexdigest()
+    return {"num_seqs": len(seqs), "total_bp": total, "n50": n50,
+            "max_len": lens[0] if lens else 0, "sorted_set_sha256": h}
+
+
+def genome_truth(seqs: list[str], genome: str) -> dict:
+    g2 = genome + genome  # tolerate none; plain containment on linear genome
+    in_genome = sum(1 for s in seqs if s in genome or rc(s) in genome)
+    cov = np.zeros(len(genome), dtype=bool)
+    for s in seqs:
+        for probe in (s, rc(s)):
+            i = genome.find(probe)
+            if i >= 0:
+                cov[i:i + len(probe)] = True
+                break
+    return {"in_genome": in_genome,
+            "genome_covered_frac": round(float(cov.mean()), 6)}
+
+
+def simulate(workdir: str, genome_size: int, read_len: int, coverage: float,
+             error: float, seed: int) -> str:
+    """bench.py-compatible fast numpy simulation, written as FASTA."""
+    rng = np.random.default_rng(seed)
+    garr = rng.integers(0, 4, size=genome_size, dtype=np.uint8)
+    n_reads = genome_size * int(coverage) // read_len
+    starts = rng.integers(0, genome_size - read_len, size=n_reads)
+    reads = garr[starts[:, None] + np.arange(read_len)[None, :]]
+    flip = rng.random(n_reads) < 0.5
+    reads[flip] = 3 - reads[flip, ::-1]
+    mask = rng.random(reads.shape) < error
+    reads[mask] = (reads[mask] + rng.integers(1, 4, size=int(mask.sum()))) % 4
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bases[garr].tobytes().decode()
+    with open(os.path.join(workdir, "genome.txt"), "w") as f:
+        f.write(genome)
+    lines = []
+    rows = bases[reads]
+    for i in range(n_reads):
+        lines.append(f">r{i}\n")
+        lines.append(rows[i].tobytes().decode())
+        lines.append("\n")
+    path = os.path.join(workdir, "reads.fa")
+    with open(path, "w") as f:
+        f.write("".join(lines))
+    return path
+
+
+def run_timed(cmd: list[str], log: str, cwd: str) -> float:
+    t0 = time.perf_counter()
+    with open(log, "w") as lf:
+        subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT,
+                       cwd=cwd, check=True)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-size", type=int, default=1_000_000)
+    ap.add_argument("--read-len", type=int, default=125)
+    ap.add_argument("--coverage", type=float, default=40.0)
+    ap.add_argument("--error", type=float, default=0.003)
+    ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--threads", type=int, default=os.cpu_count() or 2)
+    ap.add_argument("--ref-bin", default="/tmp/refbuild/platanus_b")
+    ap.add_argument("--workdir", default="/tmp/parity")
+    ap.add_argument("--count-baseline", action="store_true",
+                    help="measure reference -kmer_occ_only wall clock on "
+                         "bench.py's 4 Mbp dataset and exit")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+
+    if args.count_baseline:
+        import bench
+        size, read_len, cov, err, seed = (bench.GENOME, bench.READ_LEN,
+                                          bench.COVERAGE, bench.ERROR, 123)
+        reads_fa = simulate(args.workdir, size, read_len, cov, err, seed)
+        wall = run_timed(
+            [args.ref_bin, "assemble", "-f", reads_fa, "-t", str(args.threads),
+             "-m", "4", "-o", "cb", "-kmer_occ_only"],
+            os.path.join(args.workdir, "ref_count.log"), args.workdir)
+        n_reads = size * int(cov) // read_len
+        n_windows = n_reads * (read_len - 32 + 1)
+        out = {
+            "dataset": {"genome_bp": size, "read_len": read_len,
+                        "coverage": cov, "error_rate": err, "seed": seed,
+                        "n_reads": n_reads, "k": 32,
+                        "n_kmer_windows": n_windows},
+            "reference": {"version": "1.3.2",
+                          "cmd": "assemble -kmer_occ_only",
+                          "threads": args.threads,
+                          "host_cpus": os.cpu_count(),
+                          "wall_s": round(wall, 2),
+                          "kmers_per_s": round(n_windows / wall, 1)},
+        }
+        path = os.path.join(REPO, "parity", "COUNT_BASELINE.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out))
+        return
+
+    reads_fa = simulate(args.workdir, args.genome_size, args.read_len,
+                        args.coverage, args.error, args.seed)
+    genome = open(os.path.join(args.workdir, "genome.txt")).read()
+
+    ref_wall = run_timed(
+        [args.ref_bin, "assemble", "-f", reads_fa, "-t", str(args.threads),
+         "-m", "4", "-k", str(args.k), "-o", "ref"],
+        os.path.join(args.workdir, "ref_assemble.log"), args.workdir)
+    ref_contigs = read_fasta(os.path.join(args.workdir, "ref_contig.fa"))
+
+    tpu_wall = run_timed(
+        [sys.executable, "-m", "platanus_b_tpu", "assemble", "-f", reads_fa,
+         "-k", str(args.k), "-o", os.path.join(args.workdir, "tpu")],
+        os.path.join(args.workdir, "tpu_assemble.log"), REPO)
+    tpu_contigs = read_fasta(os.path.join(args.workdir, "tpu_contig.fa"))
+
+    ref_stats = seq_set_stats(ref_contigs) | genome_truth(ref_contigs, genome)
+    tpu_stats = seq_set_stats(tpu_contigs) | genome_truth(tpu_contigs, genome)
+    out = {
+        "dataset": {"genome_bp": args.genome_size, "read_len": args.read_len,
+                    "coverage": args.coverage, "error_rate": args.error,
+                    "seed": args.seed, "k0": args.k},
+        "reference": {"version": "1.3.2", "threads": args.threads,
+                      "wall_s": round(ref_wall, 2), **ref_stats},
+        "platanus_b_tpu": {"wall_s": round(tpu_wall, 2), **tpu_stats},
+        "set_parity": ref_stats["sorted_set_sha256"] ==
+                      tpu_stats["sorted_set_sha256"],
+    }
+    path = os.path.join(REPO, "parity",
+                        f"PARITY_assemble_{args.genome_size}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,6 +152,30 @@ def join_unambiguous_overlaps(graph: ScaffoldGraph) -> None:
     LOG.counter("NUM_JOINED_CHAINS", len(chains))
 
 
+def update_insert_size(graph: ScaffoldGraph, mp, lib) -> None:
+    """updateAndWriteInsertSize (solveDBG.cpp:1341) / updateInsertLength
+    (scaffoldGraph.cpp:2548): re-estimate the library insert size from
+    pairs that map properly within the CURRENT scaffold nodes."""
+    import numpy as np
+
+    lift = graph.lift_arrays()
+    f_sid, f_off, _fp = graph.lift_positions(mp.fwd_id, mp.fwd_off, lift)
+    r_sid, r_off, _rp = graph.lift_positions(mp.rev_id, mp.rev_off, lift)
+    both = (mp.fwd_id != 0) & (mp.rev_id != 0) & (f_sid != 0) & (r_sid != 0)
+    same = both & (f_sid == -r_sid)
+    fwd_p = same & (f_sid > 0) & (f_off < r_off)
+    rev_p = same & (r_sid > 0) & (r_off < f_off)
+    ins = np.where(fwd_p, r_off - f_off + 1,
+                   np.where(rev_p, f_off - r_off + 1, 0))
+    keep = (fwd_p | rev_p) & (ins > 0)
+    if keep.sum() < 100:   # too few to re-estimate
+        return
+    dist = seqlib.insert_distribution(ins[keep])
+    avg, sd = seqlib.estimate_ins_size(dist)
+    if avg > 0:
+        lib.average_insert, lib.sd_insert = avg, sd
+
+
 def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                 min_link: int = 3, min_overlap_scaf: int = 32,
                 seed_lengths=(32,), reduce_redundancy: bool = False,
@@ -227,29 +251,41 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
 
     join_unambiguous_overlaps(graph)
 
-    # cross-structure resolution per library (extendConsensus cross-solving
-    # block, solveDBG.cpp:1300-1336; LINK mode, then TAG mode when tags
-    # are loaded — pairedDBG.cpp:1543-1640)
-    for li, lib in enumerate(libs):
-        graph.lib = lib
-        graph.pairs = mapped[li]
-        graph.tolerence = max(int(3 * lib.sd_insert), max_k)
-        graph.min_link = min_link
-        graph.make_graph()
-        graph.solve_simple_cross_structure_iterative(
-            0.25, "link", rebuild=graph.make_graph)
-        if graph.contig_tag is not None:
-            graph.solve_simple_cross_structure_iterative(
-                0.25, "tag", rebuild=graph.make_graph)
+    from ..models.divide import divide_erroneous_node_base_level
 
-    # consensus scaffolding rounds (extendConsensus scaffolding block,
-    # solveDBG.cpp:1338-1372)
-    graph.min_overlap = min_overlap_scaf
     for outer in range(2):
+        # cross-structure resolution per library (extendConsensus
+        # cross-solving block, solveDBG.cpp:1210-1256; LINK mode, then TAG
+        # mode when tags are loaded — pairedDBG.cpp:1543-1640)
+        for li, lib in enumerate(libs):
+            graph.lib = lib
+            graph.pairs = mapped[li]
+            graph.tolerence = max(int(3 * lib.sd_insert), max_k)
+            graph.min_link = min_link
+            graph.make_graph()
+            graph.solve_simple_cross_structure_iterative(
+                0.25, "link", rebuild=graph.make_graph)
+            if graph.contig_tag is not None:
+                graph.solve_simple_cross_structure_iterative(
+                    0.25, "tag", rebuild=graph.make_graph)
+
+        # base-level erroneous division before scaffolding
+        # (solveDBG.cpp:1332-1334)
+        if libs:
+            graph.lib = libs[0]
+            divide_erroneous_node_base_level(graph, libs, mapped,
+                                             read_records)
+
+        # consensus scaffolding rounds (extendConsensus scaffolding block,
+        # solveDBG.cpp:1338-1380; PREVIOUS_DIVISION_AWARE_MODE active)
+        graph.min_overlap = min_overlap_scaf
         for iteration in range(2):
             for li, lib in enumerate(libs):
                 graph.lib = lib
                 graph.pairs = mapped[li]
+                # insert-size re-estimation on current scaffolds
+                # (updateAndWriteInsertSize, solveDBG.cpp:1341)
+                update_insert_size(graph, mapped[li], lib)
                 LOG.info(f"[LIBRARY {li + 1}] AVE_INS = {lib.average_insert}, "
                          f"SD_INS = {lib.sd_insert}")
                 for tf in range(MIN_TOL_FACTOR, MAX_TOL_FACTOR + 1):
@@ -258,6 +294,7 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                     LOG.counter("TOLERENCE_LEVEL_OF_CONTIG_OVERLAP",
                                 graph.tolerence)
                     graph.make_graph()
+                    graph.delete_edge_from_different_previous_parent()
                     if iteration == 0:
                         graph.delete_thin_edge(max(min_link,
                                                    graph.estimate_link()))
@@ -271,8 +308,12 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                         graph.delete_repeat_edge()
                     graph.detect_repeat(graph.average_coverage)
                     graph.make_scaffold()
+            if libs:
+                graph.lib = libs[0]
+                divide_erroneous_node_base_level(graph, libs, mapped,
+                                                 read_records)
         # long-read scaffolding pass (extendConsensus long-read block,
-        # solveDBG.cpp:529-560: makeGraph -> deleteErroneousEdgeScore(0.125)
+        # solveDBG.cpp:1385-1410: makeGraph -> deleteErroneousEdgeScore(0.125)
         # -> deleteRepeatEdge -> detectRepeat -> makeScaffoldCombine)
         if read_records:
             graph.tolerence = min(avg_long_len,
@@ -283,6 +324,10 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
             graph.delete_repeat_edge()
             graph.detect_repeat(graph.average_coverage)
             graph.make_scaffold()
+            if libs:
+                graph.lib = libs[0]
+                divide_erroneous_node_base_level(graph, libs, mapped,
+                                                 read_records)
     graph.min_overlap = max_k - 1
 
     if libs:

@@ -105,6 +105,12 @@ class ScaffoldGraph:
         self.pairs: MappedPairs | None = None
         # 10x tag counts per (tag, contig) — set by set_contig_tag_counts
         self.contig_tag: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        # contig pairs unlinked by base-level division (contigUnlinkSet,
+        # pairedDBG.cpp:99,7282): encoded min(ci)*num_contig+max(ci)
+        self.contig_unlink: set[int] = set()
+        # previous parent node per contig (contigPreviousParentNodeID,
+        # pairedDBG.cpp:4930-4997), for PREVIOUS_DIVISION_AWARE_MODE
+        self.contig_prev_parent = np.zeros(self.num_contig, dtype=np.int64)
 
     # -- node coverage (calcNodeCoverage: length-weighted contig coverage) --
     def node_coverage(self, n: GraphNode) -> float:
@@ -242,50 +248,86 @@ class ScaffoldGraph:
     # ------------------------------------------------------------------
     # links (storeGraphLinkFromMappedPair + calcLink)
     # ------------------------------------------------------------------
+    def lift_arrays(self):
+        """Per-contig lift tables: (signed node id, start-in-node, part
+        index, contig length). contigPositionInScaffold + ScaffoldPart.start
+        as columnar arrays — every batched lift (links, coverage tracks)
+        indexes these instead of walking node.contigs per record."""
+        cst = np.zeros(self.num_contig, dtype=np.int64)
+        for ni, n in enumerate(self.node):
+            for k, (cid, st, _ed) in enumerate(n.contigs):
+                ci = abs(cid) - 1
+                if abs(self.contig_pos_id[ci]) == ni + 1 \
+                        and self.contig_pos_off[ci] == k:
+                    cst[ci] = st
+        clen = np.array([len(c) for c in self.contig], dtype=np.int64)
+        return self.contig_pos_id, cst, self.contig_pos_off.copy(), clen
+
+    def lift_positions(self, ids: np.ndarray, offs: np.ndarray,
+                       lift=None):
+        """Vectorized contig->node position lift. Returns (signed node id
+        with 0 = excluded, node offset, part index)."""
+        if lift is None:
+            lift = self.lift_arrays()
+        nid_of, cst, part, clen = lift
+        ci = np.abs(ids) - 1
+        nid = np.where(ids != 0, nid_of[ci], 0)
+        sid = np.where(ids > 0, nid, -nid)
+        o = np.where(nid > 0, offs, clen[ci] - offs - 1) + cst[ci]
+        return sid, o, part[ci]
+
     def store_links(self) -> np.ndarray:
-        """Lift cross-contig pair records to node coords, emit raw links
-        as an (N, 5) array [id1, off1, id2, off2, gap]."""
+        """storeGraphLinkFromMappedPair (scaffoldGraph.cpp:444-520),
+        vectorized: lift cross-contig pair records to node coords, emit raw
+        links as an (N, 5) array [id1, off1, id2, off2, gap]."""
         mp = self.pairs
         lib = self.lib
         cutoff = max(self.tolerence, self.seed_length) * 2
-        fid, foff = mp.link_fwd_id.copy(), mp.link_fwd_off.copy()
-        rid, roff = mp.link_rev_id.copy(), mp.link_rev_off.copy()
-
-        out = []
         node_len = np.array([n.length for n in self.node], dtype=np.int64)
-        for k in range(len(fid)):
-            rec = []
-            ok = True
-            for cid, off in ((fid[k], foff[k]), (rid[k], roff[k])):
-                ci = abs(cid) - 1
-                nid = self.contig_pos_id[ci]
-                if nid == 0:
-                    ok = False
-                    break
-                sid = nid if cid > 0 else -nid
-                o = off if nid > 0 else len(self.contig[ci]) - off - 1
-                n = self.node[abs(sid) - 1]
-                _c, cst, _ce = n.contigs[self.contig_pos_off[ci]]
-                rec.append((int(sid), int(o + cst), int(self.contig_pos_off[ci])))
-            if not ok:
-                continue
-            (f_id, f_off, f_ci), (r_id, r_off, r_ci) = rec
-            if abs(f_id) == abs(r_id):
-                continue
-            if (node_len[abs(f_id) - 1] < cutoff
-                    or node_len[abs(r_id) - 1] < cutoff):
-                continue
-            gap = int(lib.average_insert)
-            gap -= (node_len[f_id - 1] - f_off) if f_id > 0 else (f_off + 1)
-            gap -= (node_len[r_id - 1] - r_off) if r_id > 0 else (r_off + 1)
-            if abs(f_id) < abs(r_id):
-                id1, off1, id2, off2 = f_id, f_ci, -r_id, r_ci
-            else:
-                id1, off1, id2, off2 = r_id, r_ci, -f_id, f_ci
-            if -gap > self.tolerence + self.scaffold_overlap(id1, id2):
-                continue
-            out.append((id1, off1, id2, off2, gap))
-        return np.array(out, dtype=np.int64).reshape(-1, 5)
+        lift = self.lift_arrays()
+
+        fid, foff = mp.link_fwd_id, mp.link_fwd_off
+        rid, roff = mp.link_rev_id, mp.link_rev_off
+        # contigUnlinkSet filter (pairedDBG.cpp:99): drop pairs whose contig
+        # pair was unlinked by a previous division
+        if self.contig_unlink:
+            cf = np.abs(fid) - 1
+            cr = np.abs(rid) - 1
+            code = (np.minimum(cf, cr) * self.num_contig
+                    + np.maximum(cf, cr))
+            keep = ~np.isin(code, np.fromiter(self.contig_unlink, np.int64))
+            fid, foff, rid, roff = fid[keep], foff[keep], rid[keep], roff[keep]
+
+        f_sid, f_off, f_part = self.lift_positions(fid, foff, lift)
+        r_sid, r_off, r_part = self.lift_positions(rid, roff, lift)
+        keep = (f_sid != 0) & (r_sid != 0) & (np.abs(f_sid) != np.abs(r_sid))
+        keep &= (node_len[np.abs(f_sid) - 1] >= cutoff) \
+            & (node_len[np.abs(r_sid) - 1] >= cutoff)
+        f_sid, f_off, f_part = f_sid[keep], f_off[keep], f_part[keep]
+        r_sid, r_off, r_part = r_sid[keep], r_off[keep], r_part[keep]
+
+        gap = np.full(len(f_sid), int(lib.average_insert), dtype=np.int64)
+        gap -= np.where(f_sid > 0, node_len[np.abs(f_sid) - 1] - f_off,
+                        f_off + 1)
+        gap -= np.where(r_sid > 0, node_len[np.abs(r_sid) - 1] - r_off,
+                        r_off + 1)
+
+        f_first = np.abs(f_sid) < np.abs(r_sid)
+        id1 = np.where(f_first, f_sid, r_sid)
+        off1 = np.where(f_first, f_part, r_part)
+        id2 = np.where(f_first, -r_sid, -f_sid)
+        off2 = np.where(f_first, r_part, f_part)
+
+        # overlap-aware proximity filter: only records with -gap > tolerence
+        # even need an overlap lookup (small subset)
+        ok = -gap <= self.tolerence
+        check = np.nonzero(~ok)[0]
+        for k in check:
+            if -gap[k] <= self.tolerence + self.scaffold_overlap(
+                    int(id1[k]), int(id2[k])):
+                ok[k] = True
+        return np.stack([id1, off1, id2, off2, gap],
+                        axis=1)[ok].astype(np.int64)
 
     def make_graph(self) -> None:
         """calcLink + makeGraph (scaffoldGraph.cpp:718-923)."""
@@ -822,6 +864,39 @@ class ScaffoldGraph:
                 if e.num_link < self.min_link:
                     ids.append((ni + 1, e.end))
         self.delete_edges(ids)
+
+    def delete_edge_from_different_previous_parent(self) -> int:
+        """deleteEdgeFromDifferentPreviousParent (pairedDBG.cpp:4270-4315):
+        zero breakdown contributions of contigs whose previous parent node
+        matches a contig in the linked node (the pair was divided apart
+        before), then drop edges that fall below min_link."""
+        if not self.contig_prev_parent.any():
+            return 0
+        for ni, n1 in enumerate(self.node):
+            parents1 = [self.contig_prev_parent[abs(c[0]) - 1]
+                        for c in n1.contigs]
+            for e in n1.edges:
+                if e.breakdown is None:
+                    continue
+                n2 = self.node[abs(e.end) - 1]
+                parents2 = {int(self.contig_prev_parent[abs(c[0]) - 1])
+                            for c in n2.contigs
+                            if self.contig_prev_parent[abs(c[0]) - 1] != 0}
+                for m, p in enumerate(parents1):
+                    if p == 0:
+                        break
+                    if int(p) in parents2:
+                        e.num_link -= int(e.breakdown[m])
+                        e.breakdown[m] = 0
+        ids = []
+        for ni, n in enumerate(self.node):
+            for e in n.edges:
+                if e.num_link < self.min_link:
+                    ids.append((ni + 1, e.end))
+        self.delete_edges(ids)
+        if ids:
+            LOG.counter("NUM_SPLIT_LINK(DIVISION_AWARE)", len(ids))
+        return len(ids)
 
     def detect_repeat(self, average_coverage: float) -> None:
         """detectRepeat (scaffoldGraph.cpp:1194-1231)."""

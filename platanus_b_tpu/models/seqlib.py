@@ -186,6 +186,96 @@ def estimate_ins_size(dist: np.ndarray, min_peak_threshold: int = 0,
     return avg, sd
 
 
+def truncate_distribution_by_number(dist: np.ndarray,
+                                    edge: float = INS_DISTR_TRUNC) -> np.ndarray:
+    """truncateDistributionByNumber (seqlib.cpp:64-110): zero `edge`
+    fraction of the mass off each tail (partial bins scaled)."""
+    dist = np.asarray(dist, dtype=np.float64).copy()
+    final = dist.sum() * edge
+    for idx_range in (range(len(dist)), range(len(dist) - 1, -1, -1)):
+        acc = 0.0
+        for i in idx_range:
+            acc += dist[i]
+            if acc + dist[i] > final:
+                dist[i] = acc - final
+                break
+            dist[i] = 0.0
+        else:
+            continue
+    return dist
+
+
+def truncate_distribution_by_sd(dist: np.ndarray,
+                                edge: float = INS_DISTR_TRUNC_SD_RATE
+                                ) -> tuple[np.ndarray, int, int]:
+    """truncateDistributionBySD (seqlib.cpp:116-168): clamp the
+    distribution to avg +- edge*SD.
+
+    Faithful port including the reference's quirk: the loop recomputes
+    avg/SD from the UNtruncated distribution (seqlib.cpp:143-144), so it
+    converges after one iteration; INS_DISTR_TRUNC_NUM_ITERATION bounds
+    the (never-reached) retry path."""
+    dist = np.asarray(dist, dtype=np.float64).copy()
+    if len(dist) <= 1:
+        return dist, 0, len(dist)
+    avg = int(_dist_average(dist, 0, len(dist) - 1) + 0.5)
+    sd = int(_dist_sd_about(dist, 0, len(dist) - 1, avg) + 0.5)
+    lower = int(avg - (edge * sd - 0.5))
+    upper = int(avg + (edge * sd + 0.5))
+    for _ in range(INS_DISTR_TRUNC_NUM_ITERATION):
+        a2 = int(_dist_average(dist, 0, len(dist) - 1) + 0.5)
+        if a2 == avg:
+            break
+        avg = a2
+    dist[: max(lower, 0)] = 0
+    dist[max(upper, 0):] = 0
+    LOG.counter("LOWER_THRESHOLD", lower)
+    LOG.counter("UPPER_THRESHOLD", upper)
+    return dist, lower, upper
+
+
+def _dist_sd_about(dist: np.ndarray, lo: int, hi: int, avg: float) -> float:
+    idx = np.arange(lo, hi + 1)
+    w = np.asarray(dist[lo: hi + 1], dtype=np.float64)
+    n = w.sum()
+    if n <= 1:
+        return 0.0
+    return float(np.sqrt(((idx - avg) ** 2 * w).sum() / (n - 1.0)))
+
+
+def normalize_distribution(pre: np.ndarray,
+                           seq_lengths: np.ndarray) -> np.ndarray:
+    """normalizeDistribution (seqlib.cpp:216-243): divide each insert bin
+    by the number of positions that could observe it, rescaled to keep the
+    total mass."""
+    pre = np.asarray(pre, dtype=np.float64)
+    prob = np.zeros(len(pre), dtype=np.float64)
+    for L in np.asarray(seq_lengths, dtype=np.int64):
+        end = min(L + 1, len(pre))
+        if end > 1:
+            prob[1:end] += L + 1 - np.arange(1, end)
+    post = np.zeros_like(pre)
+    nz = prob > 0
+    post[nz] = pre[nz] / prob[nz]
+    post[0] = 0.0
+    s_pre, s_post = pre[1:].sum(), post[1:].sum()
+    if s_post > 0:
+        post *= s_pre / s_post
+    return post
+
+
+def estimate_ins_size_normalized(dist: np.ndarray,
+                                 seq_lengths: np.ndarray) -> tuple[int, int]:
+    """estimateInsSizeNormalized (seqlib.cpp:274-283): normalize by
+    observable positions, truncate INS_DISTR_TRUNC off the tails, then
+    mean/SD over the whole range."""
+    post = truncate_distribution_by_number(
+        normalize_distribution(dist, seq_lengths), INS_DISTR_TRUNC)
+    avg = int(_dist_average(post, 0, len(post) - 1) + 0.5)
+    sd = int(_dist_sd_about(post, 0, len(post) - 1, avg) + 0.5)
+    return avg, sd
+
+
 def write_insert_freq_tsv(path: str, insert_lengths: np.ndarray) -> None:
     """_libN_insFreq.tsv (seqlib.cpp:308-330 printInsertSizeFreq)."""
     dist = insert_distribution(insert_lengths)

@@ -256,33 +256,146 @@ def write_occurrence_tsv(path: str, hist: np.ndarray) -> None:
             f.write(f"{occ}\t{int(hist[occ])}\n")
 
 
+_INTERNAL_OCC_MAGIC = 0x5054_5055_4F43_4331  # "PTPUOCC1" tag for k>32 files
+
+
+def _doublehash_params(table_len: int):
+    """indexLength/shifter exactly as DoubleHash (doubleHash.h:107-116,99)."""
+    index_length = 1
+    while table_len >> index_length != 0:
+        index_length += 1
+    shifter = 0 if index_length >= 32 else 2 * index_length
+    return index_length, shifter
+
+
+def _doublehash_slots(key64: np.ndarray, table_len: int) -> np.ndarray:
+    """Slot of every (unique) u64 key in a DoubleHash of `table_len`
+    (power of two), consistent with find_any's probing
+    (doubleHash.h:118-146,170-185): h = (key + key>>L + key>>S) & mask,
+    step = (~key ^ key>>L ^ key>>S) | 1, advance until free.
+
+    Parallel greedy rounds: each round every unplaced key tries its next
+    probe slot; one winner per contested slot; losers advance. Any final
+    table produced this way is consistent with *some* sequential insertion
+    order, which is all find_any requires.
+    """
+    L, S = _doublehash_params(table_len)
+    mask = np.uint64(table_len - 1)
+    key = key64.astype(np.uint64)
+    h = (key + (key >> np.uint64(L)) + (key >> np.uint64(S))) & mask
+    step = (~key ^ (key >> np.uint64(L)) ^ (key >> np.uint64(S))) \
+        | np.uint64(1)
+    slot = np.full(len(key), -1, dtype=np.int64)
+    occupied = np.zeros(table_len, dtype=bool)
+    pending = np.arange(len(key))
+    pos = h.copy()
+    while len(pending):
+        p = pos[pending]
+        free = ~occupied[p]
+        cand = pending[free]
+        cp = pos[cand]
+        # one winner per slot this round (first occurrence)
+        _uniq, first = np.unique(cp, return_index=True)
+        winners = cand[first]
+        slot[winners] = pos[winners]
+        occupied[pos[winners]] = True
+        won = np.zeros(len(key), dtype=bool)
+        won[winners] = True
+        pending = pending[~won[pending]]
+        pos[pending] = (pos[pending] + step[pending]) & mask
+    return slot
+
+
+def pack_key64(keys: np.ndarray) -> np.ndarray:
+    """(N, W<=2) uint32 multiword keys -> u64 scalars (word 0 = high)."""
+    k = np.asarray(keys).astype(np.uint64)
+    if k.ndim == 1:
+        return k
+    if k.shape[1] == 1:
+        return k[:, 0]
+    return (k[:, 0] << np.uint64(32)) | k[:, 1]
+
+
 def write_occurrence_table_binary(path: str, keys: np.ndarray,
                                   counts: np.ndarray, k: int) -> None:
-    """out_kmer_occ.bin-compatible export.
+    """out_kmer_occ.bin export.
 
-    Format mirrors outputOccurrenceTableBinary (counter.h:955-963) +
-    writeTable (doubleHash.h:266-280): u64 kmer length, then sparse
-    {u64 index, key words, u16 value} records. Our "index" is the rank in
-    the sorted table (the reader, kmer_divide, only round-trips it).
+    k <= 32 (the `iterate`/`kmer_divide` use case): EXACT reference format
+    — outputOccurrenceTableBinary (counter.h:955-963) + writeTable
+    (doubleHash.h:266-280) over Kmer31 u64 keys: u64 kmerLength,
+    u64 indexSize (table length - 1), then {u64 slot, u64 key, u16 value}
+    records at genuine double-hash probe positions, so the reference
+    binary's readTable + find_any work on our files and vice versa.
+
+    k > 32: internal format (magic-tagged); the reference's KmerN
+    serialization dumps raw C++ objects with vtable pointers
+    (binstr.h:292-295, doubleHash.h:281-293) and is not portable.
     """
     keys = np.asarray(keys)
-    counts = np.asarray(counts)
+    counts = np.clip(np.asarray(counts), 0, 0xFFFF).astype(np.uint16)
     with open(path, "wb") as f:
         f.write(np.uint64(k).tobytes())
-        f.write(np.uint64(len(keys)).tobytes())
-        f.write(np.uint64(keys.shape[1] if keys.ndim > 1 else 1).tobytes())
-        f.write(np.arange(len(keys), dtype=np.uint64).tobytes())
-        f.write(keys.astype(np.uint32).tobytes())
-        f.write(np.clip(counts, 0, 0xFFFF).astype(np.uint16).tobytes())
+        if k <= 32:
+            key64 = pack_key64(keys)
+            n = len(key64)
+            table_len = 1
+            while table_len * DOUBLE_HASH_MAX_LOAD_FACTOR < max(n, 1):
+                table_len <<= 1
+            slots = _doublehash_slots(key64, table_len)
+            order = np.argsort(slots)
+            rec = np.zeros(n, dtype=np.dtype(
+                [("slot", "<u8"), ("key", "<u8"), ("val", "<u2")],
+                align=False))
+            rec["slot"] = slots[order]
+            rec["key"] = key64[order]
+            rec["val"] = counts[order]
+            f.write(np.uint64(table_len - 1).tobytes())
+            f.write(rec.tobytes())
+        else:
+            w = keys.shape[1] if keys.ndim > 1 else 1
+            f.write(np.uint64(_INTERNAL_OCC_MAGIC).tobytes())
+            f.write(np.uint64(len(keys)).tobytes())
+            f.write(np.uint64(w).tobytes())
+            f.write(keys.astype(np.uint32).tobytes())
+            f.write(counts.tobytes())
 
 
 def read_occurrence_table_binary(path: str):
-    """Inverse of write_occurrence_table_binary; returns (k, keys, counts)."""
+    """Inverse of write_occurrence_table_binary (also reads tables written
+    by the reference binary for k <= 32); returns (k, keys (N, W) u32
+    sorted, counts)."""
     with open(path, "rb") as f:
         k = int(np.frombuffer(f.read(8), np.uint64)[0])
-        n = int(np.frombuffer(f.read(8), np.uint64)[0])
-        w = int(np.frombuffer(f.read(8), np.uint64)[0])
-        _idx = np.frombuffer(f.read(8 * n), np.uint64)
-        keys = np.frombuffer(f.read(4 * n * w), np.uint32).reshape(n, w)
-        counts = np.frombuffer(f.read(2 * n), np.uint16).astype(np.uint32)
-    return k, keys, counts
+        second = np.frombuffer(f.read(8), np.uint64)[0]
+        if k > 32 and second == _INTERNAL_OCC_MAGIC:
+            n = int(np.frombuffer(f.read(8), np.uint64)[0])
+            w = int(np.frombuffer(f.read(8), np.uint64)[0])
+            keys = np.frombuffer(f.read(4 * n * w),
+                                 np.uint32).reshape(n, w).copy()
+            counts = np.frombuffer(f.read(2 * n),
+                                   np.uint16).astype(np.uint32)
+            return k, keys, counts
+        # reference DoubleHash format: {u64 slot, u64 key, u16 value}*
+        rec = np.frombuffer(f.read(), dtype=np.dtype(
+            [("slot", "<u8"), ("key", "<u8"), ("val", "<u2")], align=False))
+        key64 = rec["key"].astype(np.uint64)
+        counts = rec["val"].astype(np.uint32)
+        order = np.argsort(key64, kind="stable")
+        key64, counts = key64[order], counts[order]
+        W = num_words_for_k(k)
+        keys = np.zeros((len(key64), W), dtype=np.uint32)
+        if W == 1:
+            keys[:, 0] = key64.astype(np.uint32)
+        else:
+            keys[:, 0] = (key64 >> np.uint64(32)).astype(np.uint32)
+            keys[:, 1] = (key64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return k, keys, counts
+
+
+def num_words_for_k(k: int) -> int:
+    from .multiword import num_words
+    return num_words(k)
+
+
+# common.cpp:34
+DOUBLE_HASH_MAX_LOAD_FACTOR = 0.9
