@@ -17,10 +17,14 @@ import time
 
 import numpy as np
 
-# reference platanus_b v1.3.2 k-mer counting on this dataset (see
-# BASELINE.md "measured" section): wall seconds for the counting stage at
-# -t 2 (this host has 2 CPUs). kmers/s = N_WINDOWS / this.
-BASELINE_WALL_S = 561.0
+# Reference platanus_b v1.3.2 `assemble -kmer_occ_only` on this exact
+# dataset, measured by `python parity/run_parity.py --count-baseline`
+# (artifact: parity/COUNT_BASELINE.json, -t 2 on this 2-CPU host; the
+# BASELINE.md north-star is 16 threads, which this host cannot run — the
+# honest comparison here is measured-2-thread, recorded as such).
+_BASELINE_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "parity", "COUNT_BASELINE.json")
+BASELINE_WALL_S = 17.74  # fallback; overridden by the artifact when present
 
 K = 32
 GENOME = 4_000_000
@@ -81,7 +85,11 @@ def main():
     dt = time.perf_counter() - t0
 
     kmers_per_s = n_windows / dt
-    baseline = n_windows / BASELINE_WALL_S
+    baseline_wall = BASELINE_WALL_S
+    if os.path.exists(_BASELINE_JSON):
+        with open(_BASELINE_JSON) as f:
+            baseline_wall = json.load(f)["reference"]["wall_s"]
+    baseline = n_windows / baseline_wall
     print(json.dumps({
         "metric": "kmer_count_throughput_k32",
         "value": round(kmers_per_s, 1),

@@ -86,6 +86,13 @@ def _enable_compilation_cache() -> None:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # PLATANUS_B_TPU_PLATFORM=cpu forces the JAX backend (hosts without an
+    # accelerator, CI) — must run before first backend use
+    import os
+    platform = os.environ.get("PLATANUS_B_TPU_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
     _enable_compilation_cache()
     LOG.info(f"platanus_b_tpu version {__version__} "
              f"(Platanus_B {REFERENCE_VERSION} capabilities)")

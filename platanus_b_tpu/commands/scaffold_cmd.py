@@ -67,23 +67,61 @@ def run(args) -> int:
         graph.save_overlap(index,
                            cutoff_length=int(libs[0].sd_insert * MIN_TOL_FACTOR))
 
-    # per-library tolerance-ramped loops (scaffold.cpp:151-251)
-    for li, lib in enumerate(libs):
-        graph.lib = lib
-        graph.pairs = mapped[li]
-        for tf in range(MIN_TOL_FACTOR, MAX_TOL_FACTOR + 1):
-            graph.tolerence = int(tf * lib.sd_insert)
-            graph.make_graph()
-            graph.delete_erroneous_edge_iterative()
-            graph.delete_repeat_edge()
-            graph.detect_repeat(graph.average_coverage)
-            graph.make_scaffold()
-        # final per-library pass without repeat-edge deletion
-        graph.tolerence = int(MAX_TOL_FACTOR * lib.sd_insert)
-        graph.make_graph()
-        graph.delete_erroneous_edge_iterative()
-        graph.detect_repeat(graph.average_coverage)
-        graph.make_scaffold()
+    # bubble mapping + node classification (mapLibraryAndInitGraph tail,
+    # scaffold.cpp:322-324: countBubble + classifyNode over HeteroMapper
+    # mergeBubble positions)
+    from ..models import hetero
+    graph.bubble_threshold = args.u
+    bubbles = []
+    for path in args.b:
+        for _n, s in fa.iter_fasta(path):
+            bubbles.append(fa.seq_to_codes(s))
+    if bubbles:
+        hetero.merge_bubble(graph, bubbles)
+    hetero.classify_node(graph)
+
+    # per-library tolerance-ramped loops with hetero handling
+    # (Scaffold::exec, scaffold.cpp:162-251)
+    for second_pass in (False, True):
+        for li, lib in enumerate(libs):
+            graph.lib = lib
+            graph.pairs = mapped[li]
+            LOG.info(f"[LIBRARY {li + 1}] AVE_INS = {lib.average_insert}, "
+                     f"SD_INS = {lib.sd_insert}")
+            for tf in range(MIN_TOL_FACTOR, MAX_TOL_FACTOR + 1):
+                if not second_pass:
+                    graph.min_link = max(args.l, graph.estimate_link())
+                else:
+                    graph.min_link = args.l
+                # first graph build at unlimited tolerance
+                # (scaffold.cpp:179-183: setTolerence(INT64_MAX))
+                graph.tolerence = 1 << 60
+                graph.make_graph()
+                graph.delete_thin_edge(args.l)
+                graph.tolerence = int(tf * lib.sd_insert)
+                hetero.remove_hetero_overlap(graph)
+
+                LOG.counter("TOLERENCE_LEVEL_OF_CONTIG_OVERLAP",
+                            graph.tolerence)
+                graph.make_graph()
+                graph.delete_thin_edge(args.l)
+                hetero.crush_hetero_bubble(graph, graph.average_coverage)
+                hetero.crush_bubble_iterative(graph, args.u,
+                                              graph.average_coverage)
+                graph.delete_erroneous_edge_iterative()
+                if (not second_pass and li > 0) or second_pass:
+                    graph.delete_repeat_edge()
+                graph.detect_repeat(graph.average_coverage)
+                graph.make_scaffold()
+
+                graph.make_graph()
+                graph.delete_thin_edge(args.l)
+                hetero.crush_hetero_bubble(graph, graph.average_coverage)
+                hetero.crush_bubble_iterative(graph, args.u,
+                                              graph.average_coverage)
+                hetero.delete_hetero_edge(graph)
+                graph.detect_repeat(graph.average_coverage)
+                graph.make_scaffold()
 
     graph.tolerence = int(MAX_TOL_FACTOR * libs[-1].sd_insert) if libs else max_k
     results = graph.load_result_seq(max(MIN_SCAFFOLD_LEN, read_len),
@@ -96,8 +134,13 @@ def run(args) -> int:
     with open(f"{args.o}_scaffoldComponent.tsv", "w") as f:
         for r in results:
             f.write(r.component)
-    # bubble output parity: empty when no bubble file given
-    fa.write_fasta(f"{args.o}_scaffoldBubble.fa", [])
+    # crushed bubbles -> PREFIX_scaffoldBubble.fa (printScaffoldBubble,
+    # scaffoldGraph.cpp:2513-2546)
+    bub_recs = []
+    for bi, (codes, cov) in enumerate(graph.crushed_bubbles):
+        bub_recs.append((f"seq{bi + 1}_len{len(codes)}_cov{int(cov + 0.5)}",
+                         fa.codes_to_seq(codes)))
+    fa.write_fasta(f"{args.o}_scaffoldBubble.fa", bub_recs)
     LOG.counter("NUM_SCAFFOLD_OUT", len(recs))
     LOG.info("scaffold completed!")
     LOG.report_memory()

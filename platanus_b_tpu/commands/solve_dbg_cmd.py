@@ -180,7 +180,7 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                 min_link: int = 3, min_overlap_scaf: int = 32,
                 seed_lengths=(32,), reduce_redundancy: bool = False,
                 trim_overlap: bool = False, long_read_paths=(),
-                tag_x_paths=(), tag_xx_paths=()):
+                tag_x_paths=(), tag_xx_paths=(), phasing: bool = False):
     names, seqs, covs, read_len, max_k = load_contigs(contig_paths)
     if not seqs:
         raise ArgError("solve_dbg: empty contig input")
@@ -248,6 +248,17 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                                           list(tag_xx_paths))
         graph.set_contig_tag_counts(*seqlib.count_mapped_tag_for_each_contig(
             index, tag_lib, seed_lengths=tuple(seed_lengths)))
+
+    if phasing:
+        # DBG bubble extraction on the initial contig graph
+        # (solveDBG.cpp:266-278: extractDBGBubbleInformation x2,
+        # setOppositeBubbleContigID*, crushSimpleDBGBubble via the
+        # bubble-removal block)
+        from ..models import hetero
+        hetero.extract_dbg_bubble_information(graph, max_k)
+        hetero.set_opposite_bubble_contig_id_overlapped(graph)
+        hetero.crush_simple_dbg_bubble(graph)
+        hetero.classify_node(graph)
 
     join_unambiguous_overlaps(graph)
 
@@ -334,6 +345,14 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
         graph.tolerence = int(MAX_TOL_FACTOR * libs[-1].sd_insert)
     else:
         graph.tolerence = max_k
+    if phasing:
+        # final hetero cleanup + node-level bubble pairing for outputs
+        # (solveDBG.cpp:560-575 bubble-removal block;
+        # pairedDBG.cpp:2328-2341 pairFlag scan)
+        from ..models import hetero
+        hetero.crush_hetero_bubble(graph, graph.average_coverage)
+        hetero.delete_hetero_edge(graph)
+        hetero.set_opposite_bubble_node_ids(graph)
     results = graph.load_result_seq(max_k, read_len, max_k, trim_overlap)
     if reduce_redundancy:
         mark_redundant_result_seq(results)
@@ -352,12 +371,24 @@ def write_results(results, out_prefix: str, suffix: str, comp_suffix: str):
 
 
 def run_phasing(args) -> int:
-    """Default (phasing) flow: scaffold, then partition results into
-    primary/secondary bubble pairs and hetero/other blocks
-    (solveDBG.cpp:266-637 subset; outputs per pairedDBG.cpp:2296-2394)."""
+    """Default (phasing) flow: scaffold with DBG-bubble tracking, then
+    partition results into primary/secondary bubble pairs and hetero/other
+    blocks (solveDBG.cpp:266-637; outputs per pairedDBG.cpp:2296-2394).
+
+    Pairing sources, in priority order:
+    1. graph-tracked mutual opposite-bubble node ids
+       (setOppositeBubbleContigID* -> set_opposite_bubble_node_ids);
+    2. crushed DBG-bubble records (crushSimpleDBGBubble /
+       PairedDBG::crushHeteroBubble), whose primary is located via its
+       representative contig's final scaffold;
+    3. post-hoc containment alignment for -b input bubbles and leftovers
+       (models.phasing; mirrors HeteroMapper bubble mapping)."""
     from ..models.phasing import classify_phase_blocks, write_phase_outputs
+    from ..models.phasing import PhaseBlock
+    from ..models.scaffold import DBG_SECONDARY_BUBBLE
 
     names, seqs, covs, read_len, max_k = load_contigs(args.c)
+    graph = None
     if args.no_scaffold:
         # classify the input contigs directly (-no_scaffold outputs the
         # *Contig.fa variants, solveDBG.cpp:628-631)
@@ -370,15 +401,16 @@ def run_phasing(args) -> int:
                     "_nonBubbleHeteroContig.fa", "_nonBubbleOtherContig.fa",
                     "_bubbleContigRelation.tsv")
     else:
-        results, g = run_unphase(
+        results, graph = run_unphase(
             args.c, getattr(args, "libspecs", []), args.o,
             min_link=args.l, min_overlap_scaf=args.v,
             seed_lengths=tuple(args.s),
             reduce_redundancy=args.reduce_redundancy,
             trim_overlap=args.trim_overlap,
             long_read_paths=tuple(args.p) + tuple(args.ont),
-            tag_x_paths=tuple(args.x), tag_xx_paths=tuple(args.X))
-        graph_avg = g.average_coverage
+            tag_x_paths=tuple(args.x), tag_xx_paths=tuple(args.X),
+            phasing=True)
+        graph_avg = graph.average_coverage
         suffixes = ("_primaryBubble.fa", "_secondaryBubble.fa",
                     "_nonBubbleHetero.fa", "_nonBubbleOther.fa",
                     "_bubbleRelation.tsv")
@@ -390,8 +422,59 @@ def run_phasing(args) -> int:
         for n, s in fa.iter_fasta(path):
             bubbles.append((fa.parse_cov(n), fa.seq_to_codes(s)))
 
+    tracked_pairs = []
+    if graph is not None:
+        # source 1: mutual opposite-bubble node pairs
+        node_to_result = {r.node_index: ri for ri, r in enumerate(results)
+                          if not r.redundant}
+        used: set[int] = set()
+        for ri, r in enumerate(results):
+            if r.redundant or r.node_index < 0 or ri in used:
+                continue
+            nd = graph.node[r.node_index]
+            opp = nd.opposite_bubble_node_id
+            if opp == 0 or (nd.state & DBG_SECONDARY_BUBBLE):
+                continue
+            oni = abs(opp) - 1
+            if abs(graph.node[oni].opposite_bubble_node_id) \
+                    != r.node_index + 1:
+                continue
+            oi = node_to_result.get(oni)
+            if oi is None or oi in used or oi == ri:
+                continue
+            sec_seq = results[oi].seq
+            if opp < 0:
+                sec_seq = sec_seq[::-1].copy()
+                m = sec_seq < 4
+                sec_seq[m] = 3 - sec_seq[m]
+            tracked_pairs.append(
+                (r.seq, fa.parse_cov(r.name), sec_seq,
+                 fa.parse_cov(results[oi].name)))
+            used.add(ri)
+            used.add(oi)
+        # source 2: crushed DBG-bubble pairs (secondary seq + primary's
+        # representative contig -> final result)
+        for sec_seq, prim_contig in graph.bubble_pairs:
+            nid = abs(graph.contig_pos_id[prim_contig - 1])
+            oi = node_to_result.get(nid - 1) if nid else None
+            if oi is None or oi in used:
+                continue
+            r = results[oi]
+            tracked_pairs.append(
+                (r.seq, fa.parse_cov(r.name), sec_seq,
+                 graph.coverage[prim_contig - 1]))
+            used.add(oi)
+        results = [r for ri, r in enumerate(results) if ri not in used]
+
     pairs, hetero_ids, other_ids, blocks = classify_phase_blocks(
-        results, bubbles, graph_avg)
+        results, bubbles, graph_avg,
+        hetero_coverage=graph.hetero_coverage if graph is not None else 0.0)
+    # prepend tracked pairs as PhaseBlocks
+    for p_seq, p_cov, s_seq, s_cov in reversed(tracked_pairs):
+        blocks.append(PhaseBlock(seq=p_seq, coverage=p_cov, source=-2))
+        blocks.append(PhaseBlock(seq=s_seq, coverage=s_cov, source=-2,
+                                 secondary=True))
+        pairs.insert(0, (len(blocks) - 2, len(blocks) - 1))
     write_phase_outputs(args.o, pairs, hetero_ids, other_ids, blocks,
                         read_len, max_k, suffixes=suffixes)
     with open(args.o + "_phasedScaffoldComponent.bed", "w") as f:

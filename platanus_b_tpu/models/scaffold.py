@@ -39,6 +39,12 @@ EDGE_EXPECTED_RATE_UPPER_TH = 4.0
 SC_INC = 0x1
 SC_REP = 0x2
 SC_DEL = 0x4
+# PairedDBG node state flags (pairedDBG.cpp:38-40)
+DBG_HETERO = 0x8
+DBG_PRIMARY_BUBBLE = 0x10
+DBG_SECONDARY_BUBBLE = 0x20
+# pairedDBG.cpp:63
+HETERO_COVERAGE_THRESHOLD_FACTOR = 1.75
 # scaffold.cpp:42-43 (solveDBG inherits)
 MIN_TOL_FACTOR = 2
 MAX_TOL_FACTOR = 2
@@ -65,6 +71,8 @@ class GraphNode:
     contigs: list              # [(signed contig id 1-based, start, end)]
     edges: list = field(default_factory=list)
     state: int = 0
+    is_homo: bool = False      # classifyNode (scaffoldGraph.cpp:403-421)
+    opposite_bubble_node_id: int = 0  # signed (pairedDBG GraphNode)
 
 
 @dataclass
@@ -73,6 +81,7 @@ class ResultSeq:
     name: str
     component: str
     redundant: bool = False
+    node_index: int = -1   # source node (for bubble pairing outputs)
 
 
 class ScaffoldGraph:
@@ -111,6 +120,20 @@ class ScaffoldGraph:
         # previous parent node per contig (contigPreviousParentNodeID,
         # pairedDBG.cpp:4930-4997), for PREVIOUS_DIVISION_AWARE_MODE
         self.contig_prev_parent = np.zeros(self.num_contig, dtype=np.int64)
+        # hetero/bubble machinery state (models.hetero)
+        self.hetero_coverage = 0.0     # PairedDBG::heteroCoverage
+        self.bubble_threshold = 0.1    # -u (bubbleThreshold); 0 disables
+        # numBubble per contig (scaffoldGraph.cpp:372,397; set by
+        # hetero.merge_bubble from crushed-bubble mapping)
+        self.num_bubble = np.zeros(self.num_contig, dtype=np.int64)
+        # oppositeBubbleContigID (pairedDBG.cpp:2613-2708): signed contig id
+        self.opposite_bubble_contig_id = np.zeros(self.num_contig,
+                                                  dtype=np.int64)
+        # crushed-bubble output records: (codes, coverage) — bubbleFP
+        self.crushed_bubbles: list = []
+        # crushed (secondary codes, primary rep contig index 1-based)
+        # pairs — bubbleFP/bubbleOpositeFP channel
+        self.bubble_pairs: list = []
 
     # -- node coverage (calcNodeCoverage: length-weighted contig coverage) --
     def node_coverage(self, n: GraphNode) -> float:
@@ -1071,7 +1094,7 @@ class ScaffoldGraph:
         self.min_overlap = MIN_OVERLAP_TO_JOIN
         results: list[ResultSeq] = []
         num_out = 0
-        for n in self.node:
+        for ni, n in enumerate(self.node):
             if n.state & SC_DEL or not n.contigs:
                 continue
             if all(self.contig_pos_id[abs(c[0]) - 1] == 0 for c in n.contigs):
@@ -1129,7 +1152,8 @@ class ScaffoldGraph:
                 comp_lines.append(f"{name}\t{st}\t{ed}\t{self.names[ci]}\t0\t{strand}")
                 pos = ed + gap[k]
             results.append(ResultSeq(seq=seq, name=name,
-                                     component="\n".join(comp_lines) + "\n"))
+                                     component="\n".join(comp_lines) + "\n",
+                                     node_index=ni))
         self.min_overlap = default_min_overlap
         return results
 

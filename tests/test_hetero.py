@@ -1,0 +1,224 @@
+"""Hetero/bubble machinery (models.hetero)."""
+
+import numpy as np
+import simdata
+
+from platanus_b_tpu.io.fasta import seq_to_codes
+from platanus_b_tpu.models import hetero
+from platanus_b_tpu.models.scaffold import (DBG_SECONDARY_BUBBLE, GraphEdge,
+                                            ScaffoldGraph)
+
+
+def _edit_distance_ref(a, b):
+    n, m = len(a), len(b)
+    d = np.zeros((n + 1, m + 1), dtype=np.int64)
+    d[:, 0] = np.arange(n + 1)
+    d[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                          d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+    return int(d[n, m])
+
+
+def test_align_scaffold_matches_full_dp(rng):
+    for _ in range(20):
+        n = int(rng.integers(5, 40))
+        a = rng.integers(0, 4, n).astype(np.uint8)
+        b = a.copy()
+        # a few random edits
+        for _ in range(int(rng.integers(0, 3))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, len(b)))
+            if op == 0:
+                b[pos] = (b[pos] + 1) % 4
+            elif op == 1 and len(b) > 1:
+                b = np.delete(b, pos)
+            else:
+                b = np.insert(b, pos, rng.integers(0, 4))
+        true = _edit_distance_ref(a, b)
+        thr = 6
+        got = hetero.align_scaffold(a, b, thr)
+        if true <= thr:
+            assert got == true
+        else:
+            assert got > thr
+
+
+def test_align_scaffold_early_exit(rng):
+    a = rng.integers(0, 4, 200).astype(np.uint8)
+    b = (a + 1) % 4
+    assert hetero.align_scaffold(a, b, 5) > 5
+
+
+def _bubble_graph(rng, cov1=20.0, cov2=18.0):
+    """source A -> branches B1/B2 (SNP variants) -> sink C via overlaps."""
+    a = simdata.random_genome(rng, 300)
+    b1 = simdata.random_genome(rng, 250)
+    b2 = b1[:125] + ("A" if b1[125] != "A" else "C") + b1[126:]
+    c = simdata.random_genome(rng, 300)
+    contigs = [seq_to_codes(s) for s in (a, b1, b2, c)]
+    g = ScaffoldGraph(contigs, np.array([40.0, cov1, cov2, 40.0]),
+                      min_overlap=31, hash_overlap=32)
+    g.tolerence = 50
+    for key in ((1, 2), (1, 3), (2, 4), (3, 4)):
+        g.overlap_table[key] = 32
+    return g
+
+
+def test_get_overlapped_bubble_node_index(rng):
+    g = _bubble_graph(rng)
+    idx = hetero.get_overlapped_bubble_node_index(g)
+    assert sorted(idx) == [1, 2]
+
+
+def test_calculate_hetero_coverage(rng):
+    g = _bubble_graph(rng)
+    idx = hetero.get_overlapped_bubble_node_index(g)
+    hetero.calculate_hetero_coverage(g, idx, contig_max_k=50)
+    # bubble nodes at 20/18x, homo nodes 40/40 halved -> ~19-20
+    assert 15 <= g.hetero_coverage <= 25
+    assert g.average_coverage == 2.0 * g.hetero_coverage
+
+
+def test_crush_simple_dbg_bubble(rng):
+    g = _bubble_graph(rng)
+    hetero.extract_dbg_bubble_information(g, contig_max_k=50)
+    n = hetero.crush_simple_dbg_bubble(g)
+    assert n == 1
+    # the lower-coverage branch (contig 3, cov 18) was evicted
+    assert g.contig_pos_id[2] == 0
+    assert len(g.bubble_pairs) == 1
+    sec_seq, prim_contig = g.bubble_pairs[0]
+    assert prim_contig == 2
+    assert len(sec_seq) == 250
+
+
+def test_set_opposite_bubble_contig_ids(rng):
+    g = _bubble_graph(rng)
+    hetero.extract_dbg_bubble_information(g, contig_max_k=50)
+    hetero.set_opposite_bubble_contig_id_overlapped(g)
+    assert g.opposite_bubble_contig_id[1] != 0
+    assert g.opposite_bubble_contig_id[2] != 0
+    assert abs(g.opposite_bubble_contig_id[1]) == 3
+    assert abs(g.opposite_bubble_contig_id[2]) == 2
+    hetero.set_opposite_bubble_node_ids(g)
+    assert abs(g.node[1].opposite_bubble_node_id) == 3
+    assert abs(g.node[2].opposite_bubble_node_id) == 2
+    # exactly one side is marked secondary
+    sec = [(g.node[i].state & DBG_SECONDARY_BUBBLE) != 0 for i in (1, 2)]
+    assert sum(sec) == 1
+
+
+def test_classify_node(rng):
+    g = _bubble_graph(rng)  # average coverage ~29
+    hetero.classify_node(g)
+    homo = [n.is_homo for n in g.node]
+    assert homo[0] and homo[3]            # 40x >= average
+    assert not homo[1] and not homo[2]    # 20/18x, no bubbles
+    g.num_bubble[1] = 2
+    hetero.classify_node(g)
+    assert g.node[1].is_homo              # bubble-bearing -> homo
+
+
+def test_merge_bubble(rng):
+    genome = simdata.random_genome(rng, 1200)
+    contig = seq_to_codes(genome)
+    g = ScaffoldGraph([contig], np.array([40.0]))
+    # bubble = contig[400:700] with one SNP in the middle
+    bub = contig[400:700].copy()
+    bub[150] = (bub[150] + 1) % 4
+    pos = hetero.merge_bubble(g, [bub])
+    assert pos[0] == 1
+    assert g.num_bubble[0] == 1
+    # reverse-complemented bubble maps too
+    rc = bub[::-1].copy()
+    rc[rc < 4] = 3 - rc[rc < 4]
+    g2 = ScaffoldGraph([contig], np.array([40.0]))
+    pos2 = hetero.merge_bubble(g2, [rc])
+    assert abs(pos2[0]) == 1
+
+
+def test_node2seq_roundtrip(rng):
+    s = simdata.random_genome(rng, 500)
+    codes = seq_to_codes(s)
+    g = ScaffoldGraph([codes], np.array([10.0]))
+    fwd = hetero.node2seq(g, 1)
+    rev = hetero.node2seq(g, -1)
+    assert np.array_equal(fwd, codes)
+    exp = codes[::-1].copy()
+    exp[exp < 4] = 3 - exp[exp < 4]
+    assert np.array_equal(rev, exp)
+
+
+def test_crush_hetero_bubble_paired_dbg(rng):
+    """PairedDBG crushHeteroBubble: edge-pair bubble via PE edges."""
+    g = _bubble_graph(rng, cov1=15.0, cov2=14.0)
+    g.hetero_coverage = 16.0
+    g.bubble_threshold = 0.1
+    # PE edges: A->B1, A->B2, B1->C, B2->C (layouts reconverge on C)
+    g.node[0].edges = [GraphEdge(1, 2, -32, 5), GraphEdge(1, 3, -32, 5)]
+    g.node[1].edges = [GraphEdge(-1, -1, -32, 5), GraphEdge(1, 4, -32, 5)]
+    g.node[2].edges = [GraphEdge(-1, -1, -32, 5), GraphEdge(1, 4, -32, 5)]
+    g.node[3].edges = [GraphEdge(-1, -2, -32, 5), GraphEdge(-1, -3, -32, 5)]
+    n = hetero.crush_hetero_bubble(g, g.average_coverage)
+    assert n == 1
+    assert len(g.bubble_pairs) == 1
+    assert g.bubble_pairs[0][1] == 2  # primary = higher-coverage branch
+
+
+def test_delete_hetero_edge(rng):
+    """Conflicting branch pair at hetero coverage: shorter branch dies."""
+    a = simdata.random_genome(rng, 600)
+    b1 = simdata.random_genome(rng, 400)
+    b2 = simdata.random_genome(rng, 300)
+    contigs = [seq_to_codes(s) for s in (a, b1, b2)]
+    g = ScaffoldGraph(contigs, np.array([20.0, 12.0, 11.0]))
+    g.hetero_coverage = 12.0
+    g.bubble_threshold = 0.1
+    g.tolerence = 50
+    g.min_link = 1
+    # conflicting edges: both branches claim the right end of A at the
+    # same place
+    g.node[0].edges = [GraphEdge(1, 2, 10, 5), GraphEdge(1, 3, 10, 5)]
+    g.node[1].edges = [GraphEdge(-1, -1, 10, 5)]
+    g.node[2].edges = [GraphEdge(-1, -1, 10, 5)]
+    n = hetero.delete_hetero_edge(g)
+    assert n == 1
+    assert g.contig_pos_id[2] == 0  # shorter branch evicted
+
+
+def test_solve_dbg_phasing_tracked_pairs(rng, tmp_path):
+    """Default solve_dbg flow on a simulated diploid contig set: the
+    DBG-bubble tracking pairs the haplotype branches (VERDICT item 7)."""
+    import os
+
+    from platanus_b_tpu.commands.main import main as cli_main
+    from platanus_b_tpu.io.fasta import iter_fasta
+
+    # diploid: shared flanks + two SNP-bearing haplotype middles that
+    # overlap the flanks by 31 bp (maxK-1 = 31 with maxK 32)
+    flank_l = simdata.random_genome(rng, 1500)
+    flank_r = simdata.random_genome(rng, 1500)
+    mid = simdata.random_genome(rng, 900)
+    hap1 = flank_l[-31:] + mid + flank_r[:31]
+    mid2 = list(mid)
+    for p in (200, 450, 700):
+        mid2[p] = "ACGT"[("ACGT".index(mid2[p]) + 1) % 4]
+    hap2 = flank_l[-31:] + "".join(mid2) + flank_r[:31]
+
+    ctg = tmp_path / "ctg.fa"
+    with open(ctg, "w") as f:
+        for i, (s, cov) in enumerate([(flank_l, 40), (hap1, 21),
+                                      (hap2, 19), (flank_r, 40)]):
+            f.write(f">seq{i+1}_len{len(s)}_cov{cov}_read100_maxK32\n{s}\n")
+    out = str(tmp_path / "ph")
+    rc_code = cli_main(["solve_dbg", "-c", str(ctg), "-o", out])
+    assert rc_code == 0
+    prim = list(iter_fasta(out + "_primaryBubble.fa"))
+    sec = list(iter_fasta(out + "_secondaryBubble.fa"))
+    assert len(prim) == 1 and len(sec) == 1
+    # the pair is the two haplotype middles (either may be primary)
+    got = {len(s) for _n, s in prim + sec}
+    assert got == {len(hap1)}
+    assert os.path.exists(out + "_bubbleRelation.tsv")
