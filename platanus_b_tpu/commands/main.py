@@ -76,8 +76,12 @@ def _enable_compilation_cache() -> None:
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/platanus_b_tpu_jax_cache")
+        # CPU AOT entries are machine-feature specific and must not share
+        # a dir with the TPU cache (cpu_aot_loader feature-mismatch noise)
+        backend = jax.default_backend()
+        cache = ("/tmp/platanus_b_tpu_jax_cache" if backend != "cpu"
+                 else "/tmp/platanus_b_tpu_jax_cache_cpu")
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:

@@ -91,49 +91,60 @@ def make_gap_table(scaffolds: list[np.ndarray]) -> list[Gap]:
 
 def collect_gap_reads(gaps: list[Gap], scaffolds, ids, offs, pair_codes,
                       pair_lengths, avg_ins: int, tolerance: int) -> None:
-    """judgePairReadMappedNearGap (gapClose.cpp:563-596): when one end maps,
-    its (oriented) mate is assigned to every gap inside the expected mate
-    window."""
-    # gap position lookup per scaffold: array of gap ids at N positions
-    gap_at: dict[int, dict[int, int]] = {}
-    for gi, g in enumerate(gaps):
-        tbl = gap_at.setdefault(g.scaffold_id, {})
-        for p in range(g.start, g.end):
-            tbl[p] = gi
-    for k in range(len(ids)):
-        mid = int(ids[k])
-        if mid == 0:
+    """judgePairReadMappedNearGap (gapClose.cpp:563-596), vectorized: when
+    one end maps, its (oriented) mate is assigned to every gap whose N-run
+    intersects the expected mate window. Window bounds are computed
+    columnar; gap hits come from searchsorted over each scaffold's
+    (disjoint, sorted) gap intervals — Python touches only the records
+    that actually hit a gap."""
+    ids = np.asarray(ids, dtype=np.int64)
+    offs = np.asarray(offs, dtype=np.int64)
+    pair_lengths = np.asarray(pair_lengths, dtype=np.int64)
+    mapped = ids != 0
+    if not mapped.any() or not gaps:
+        return
+    slen_tbl = np.array([len(s) for s in scaffolds], dtype=np.int64)
+    sid = np.abs(ids)
+    slen = np.where(mapped, slen_tbl[np.maximum(sid - 1, 0)], 0)
+    fwd = ids > 0
+    # forward-mapped: mate expected downstream (gapClose.cpp:571-580)
+    f_start = np.clip(np.maximum(offs, offs + avg_ins - tolerance
+                                 - pair_lengths), 0, np.maximum(slen - 1, 0))
+    f_end = np.minimum(offs + avg_ins + tolerance, slen)
+    # reverse-mapped: mate expected upstream (gapClose.cpp:581-589)
+    r_start = np.maximum(np.minimum(offs, offs - avg_ins - tolerance), 0)
+    r_end = np.minimum(offs - avg_ins + tolerance + pair_lengths, slen)
+    w_start = np.where(fwd, f_start, r_start)
+    w_end = np.where(fwd, f_end, r_end)
+
+    # per-scaffold sorted gap intervals
+    by_scaf: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for s_id in {g.scaffold_id for g in gaps}:
+        gis = np.array([gi for gi, g in enumerate(gaps)
+                        if g.scaffold_id == s_id], dtype=np.int64)
+        gs = np.array([gaps[gi].start for gi in gis], dtype=np.int64)
+        ge = np.array([gaps[gi].end for gi in gis], dtype=np.int64)
+        order = np.argsort(gs)
+        by_scaf[s_id] = (gs[order], ge[order], gis[order])
+
+    cand = np.nonzero(mapped & (w_end > w_start))[0]
+    for k in cand:
+        tbl = by_scaf.get(int(sid[k]))
+        if tbl is None:
             continue
-        off = int(offs[k])
+        gs, ge, gis = tbl
+        lo = int(np.searchsorted(ge, w_start[k], side="right"))
+        hi = int(np.searchsorted(gs, w_end[k], side="left"))
+        if hi <= lo:
+            continue
         L = int(pair_lengths[k])
         mate = pair_codes[k, :L]
-        if mid > 0:
-            sid = mid
-            s = scaffolds[sid - 1]
-            start = max(off, off + avg_ins - tolerance - L)
-            start = min(start, len(s) - 1)
-            start = max(start, 0)
-            end = min(off + avg_ins + tolerance, len(s))
+        if fwd[k]:
             mate = mate[::-1].copy()
             m = mate < 4
             mate[m] = 3 - mate[m]
-        else:
-            sid = -mid
-            s = scaffolds[sid - 1]
-            start = max(min(off, off - avg_ins - tolerance), 0)
-            end = min(off - avg_ins + tolerance + L, len(s))
-        tbl = gap_at.get(sid)
-        if tbl is None:
-            continue
-        p = start
-        while p < end:
-            if s[p] == 4:
-                gi = tbl.get(p)
-                if gi is not None:
-                    gaps[gi].reads.append(mate)
-                while p < end and s[p] == 4:
-                    p += 1
-            p += 1
+        for gi in gis[lo:hi]:
+            gaps[gi].reads.append(mate)
 
 
 # ---------------------------------------------------------------------------
@@ -141,25 +152,54 @@ def collect_gap_reads(gaps: list[Gap], scaffolds, ids, offs, pair_codes,
 # ---------------------------------------------------------------------------
 
 def _kmer_ints(seq: np.ndarray, k: int):
-    """Forward-strand k-mer python ints of one sequence (N windows skipped)."""
-    out = []
-    if len(seq) < k:
-        return out
-    val = 0
-    bad = 0  # distance to the last N
-    mask = (1 << (2 * k)) - 1
-    for i, b in enumerate(seq):
-        b = int(b)
-        if b > 3:
-            bad = k
-            val = 0
-            continue
-        val = ((val << 2) | b) & mask
-        if bad > 0:
-            bad -= 1
-        if i >= k - 1 and bad == 0:
-            out.append(val)
-    return out
+    """Forward-strand k-mer python ints of one sequence (N windows
+    skipped). Vectorized via the batch path."""
+    u, c, per = _count_kmers_batch([seq], k, keep_order=True)
+    return per
+
+
+def _count_kmers_batch(seqs, k: int, keep_order: bool = False):
+    """Unique forward-strand k-mers (python ints) + counts over a read
+    set, one vectorized pass: reads are concatenated with N separators,
+    windows extracted via stride tricks, packed into ceil(k/32) u64 words,
+    and uniqued as structured rows. Per-base Python is eliminated
+    (countKmerForGapClose counterpart, counter.h:1016-1056).
+
+    keep_order additionally returns every window's int in sequence order
+    (used by the unitig-walking helpers)."""
+    if not seqs:
+        return [], np.zeros(0, np.int64), []
+    cat = np.concatenate(
+        [np.concatenate([np.asarray(s, np.uint8), np.array([255], np.uint8)])
+         for s in seqs])
+    if len(cat) < k:
+        return [], np.zeros(0, np.int64), []
+    win = np.lib.stride_tricks.sliding_window_view(cat, k)
+    win = win[(win <= 3).all(axis=1)]
+    if not len(win):
+        return [], np.zeros(0, np.int64), []
+    W = (k + 31) // 32
+    words = np.zeros((len(win), W), dtype=np.uint64)
+    for w in range(W):
+        chunk = win[:, w * 32: (w + 1) * 32].astype(np.uint64)
+        shifts = np.uint64(2) * np.arange(chunk.shape[1] - 1, -1, -1,
+                                          dtype=np.uint64)
+        words[:, w] = (chunk << shifts).sum(axis=1)
+    # residual widths: word w covers bases [32w, e_w); v = sum w_i << 2(k - e_i)
+    ends = [min(32 * (w + 1), k) for w in range(W)]
+
+    def row_int(row):
+        v = 0
+        for w in range(W):
+            v |= int(row[w]) << (2 * (k - ends[w]))
+        return v
+
+    rec = np.ascontiguousarray(words).view([("", np.uint64)] * W).ravel()
+    uniq, counts = np.unique(rec, return_counts=True)
+    uniq_words = uniq.view(np.uint64).reshape(-1, W)
+    uniq_ints = [row_int(r) for r in uniq_words]
+    per = [row_int(r) for r in words] if keep_order else []
+    return uniq_ints, counts.astype(np.int64), per
 
 
 class MiniDBG:
@@ -171,9 +211,9 @@ class MiniDBG:
         self.counts: dict[int, int] = {}
 
     def count(self, seqs, min_cov: int, extra: dict[int, int] | None = None):
-        for s in seqs:
-            for v in _kmer_ints(s, self.k):
-                self.counts[v] = self.counts.get(v, 0) + 1
+        uniq, cnt, _ = _count_kmers_batch(seqs, self.k)
+        for v, c in zip(uniq, cnt):
+            self.counts[v] = self.counts.get(v, 0) + int(c)
         if extra:
             for v, c in extra.items():
                 self.counts[v] = max(self.counts.get(v, 0), c)

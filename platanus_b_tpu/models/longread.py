@@ -58,9 +58,13 @@ class Alignment:
     t_len: int
     t_start: int
     t_end: int
-    matches: int           # approx: sum of anchor k-spans
+    matches: int           # base-level measured (or anchor-estimated)
     block_len: int
     score: int
+    # anchor-gap segments pending base-level verification:
+    # (oriented query codes, target codes) pairs whose summed edit
+    # distance bounds this alignment's edits
+    _segments: list | None = None
 
     @property
     def identity(self) -> float:
@@ -121,8 +125,13 @@ class LongReadAligner:
             self.idx_strand = np.zeros(0, np.uint8)
 
     # ------------------------------------------------------------------
-    def align_batch(self, reads: list[np.ndarray], names: list[str]
-                    ) -> list[Alignment]:
+    def align_batch(self, reads: list[np.ndarray], names: list[str],
+                    verify: bool = True) -> list[Alignment]:
+        """Chain all reads, then base-level-verify every chain's identity
+        in ONE batched banded-edit-distance call (the ksw2-replacement
+        Pallas kernel on TPU; numpy banded DP on CPU) — matches/block_len
+        become measured, not anchor-estimated (mapper.cpp:1889-1899
+        consumers key off them)."""
         p = self.p
         out: list[Alignment] = []
         if not reads or len(self.idx_hash) == 0:
@@ -134,10 +143,14 @@ class LongReadAligner:
             sks = sketch(mat, lens, p.k, p.w)
             for ri, (h, qpos, qstrand) in enumerate(sks):
                 out.extend(self._align_one(h, qpos, qstrand,
-                                           names[c0 + ri], len(chunk[ri])))
+                                           names[c0 + ri], len(chunk[ri]),
+                                           chunk[ri] if verify else None))
+        if verify:
+            verify_alignments_batched(out)
         return out
 
-    def _align_one(self, h, qpos, qstrand, qname, qlen) -> list[Alignment]:
+    def _align_one(self, h, qpos, qstrand, qname, qlen,
+                   qcodes=None) -> list[Alignment]:
         p = self.p
         lo = np.searchsorted(self.idx_hash, h, side="left")
         hi = np.searchsorted(self.idx_hash, h, side="right")
@@ -168,6 +181,10 @@ class LongReadAligner:
             qq = (qlen - self.p.k - q) if rev else q
             order = np.lexsort((qq, t, tid))
             q2, t2, tid2, qq2 = q[order], t[order], tid[order], qq[order]
+            oq = None
+            if qcodes is not None:
+                oq = _rc_codes(qcodes) if rev else np.asarray(qcodes,
+                                                              np.uint8)
             for st, en in _group_runs(tid2):
                 chains = _chain(qq2[st:en], t2[st:en], p)
                 for idx, score in chains:
@@ -187,13 +204,87 @@ class LongReadAligner:
                         q_start, q_end = qq_start, qq_end
                     block = max(q_end - q_start, t_end - t_start)
                     ti = int(tid2[st])
+                    segments = None
+                    if oq is not None:
+                        segments = _chain_segments(
+                            oq, self.targets[ti], qs_r, ts_r, p.k)
                     out.append(Alignment(
                         q_name=qname, q_len=qlen, q_start=q_start,
                         q_end=q_end, strand="-" if rev else "+",
                         t_name=self.names[ti], t_len=int(self.t_lens[ti]),
                         t_start=t_start, t_end=t_end, matches=matches,
-                        block_len=block, score=int(score)))
+                        block_len=block, score=int(score),
+                        _segments=segments))
         return out
+
+
+def _rc_codes(codes: np.ndarray) -> np.ndarray:
+    out = np.asarray(codes, np.uint8)[::-1].copy()
+    m = out < 4
+    out[m] = 3 - out[m]
+    return out
+
+
+# segment span cap: anchor-to-anchor verification blocks stay small so
+# the banded DP band (SEG_BAND) covers their indel drift
+SEG_SPAN = 1024
+SEG_BAND = 128
+
+
+def _chain_segments(oq: np.ndarray, t: np.ndarray, qs_r: np.ndarray,
+                    ts_r: np.ndarray, k: int) -> list:
+    """Split a chain into anchor-aligned (query, target) sub-blocks for
+    base-level verification: boundaries at chain anchors, cut whenever the
+    running span exceeds SEG_SPAN. Each block's banded edit distance sums
+    to an upper bound of the chain's edits (anchors pin the path)."""
+    segs = []
+    a = 0
+    n = len(qs_r)
+    for b in range(1, n):
+        if (qs_r[b] - qs_r[a] >= SEG_SPAN or ts_r[b] - ts_r[a] >= SEG_SPAN
+                or b == n - 1):
+            q_seg = oq[int(qs_r[a]): int(qs_r[b]) + (k if b == n - 1 else 0)]
+            t_seg = t[int(ts_r[a]): int(ts_r[b]) + (k if b == n - 1 else 0)]
+            segs.append((q_seg, t_seg))
+            a = b
+    if not segs:  # single-anchor chain
+        segs.append((oq[int(qs_r[0]): int(qs_r[0]) + k],
+                     t[int(ts_r[0]): int(ts_r[0]) + k]))
+    return segs
+
+
+def verify_alignments_batched(alignments: list[Alignment]) -> None:
+    """Base-level identity for every alignment in one batched call.
+
+    TPU: the Pallas banded-edit-distance kernel (ops.pallas_align — the
+    ksw2_extz2 replacement). CPU: numpy banded DP (models.hetero). Each
+    alignment's matches become block_len - sum(segment edit distances);
+    _segments are dropped afterwards."""
+    import jax
+
+    pend = [(ai, a) for ai, a in enumerate(alignments) if a._segments]
+    if not pend:
+        return
+    qs, ts, owner = [], [], []
+    for ai, a in pend:
+        for q_seg, t_seg in a._segments:
+            qs.append(q_seg)
+            ts.append(t_seg)
+            owner.append(ai)
+    if jax.default_backend() == "cpu":
+        from .hetero import align_scaffold
+        eds = np.array([min(align_scaffold(q, t, SEG_BAND // 2),
+                            max(len(q), len(t)))
+                        for q, t in zip(qs, ts)], dtype=np.int64)
+    else:
+        from ..ops.pallas_align import banded_edit_distance
+        eds = banded_edit_distance(qs, ts, band=SEG_BAND).astype(np.int64)
+    per_aln = np.zeros(len(alignments), dtype=np.int64)
+    np.add.at(per_aln, np.array(owner, dtype=np.int64), eds)
+    for ai, a in pend:
+        a.matches = int(max(a.block_len - per_aln[ai], 0))
+        a._segments = None
+    LOG.counter("NUM_VERIFIED_ALIGNMENTS", len(pend))
 
 
 def _group_runs(arr):

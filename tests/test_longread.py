@@ -81,3 +81,26 @@ def test_read_records_reduction(rng):
     rl, rlist = recs["r1"]
     ids = sorted(abs(r.position_id) for r in rlist)
     assert ids == [1, 2]
+
+
+def test_identity_is_measured_not_estimated(rng):
+    """Base-level verification: matches reflect true error rate
+    (verify_alignments_batched; VERDICT item 5)."""
+    genome = simdata.random_genome(rng, 9000)
+    aligner = LongReadAligner([seq_to_codes(genome)], ["t1"], "map-ont")
+    # exact read -> identity ~ 1.0
+    exact = genome[1000:6000]
+    a0 = max(aligner.align_batch([seq_to_codes(exact)], ["r0"]),
+             key=lambda a: a.score)
+    assert a0.identity > 0.995
+    # 5% mutated read -> identity measured near 0.95, NOT near the
+    # anchor-estimate (which collapses toward anchor density)
+    noisy = simdata.mutate(rng, exact, 0.05)
+    alns = aligner.align_batch([seq_to_codes(noisy)], ["r1"])
+    assert alns
+    a1 = max(alns, key=lambda a: a.score)
+    assert 0.88 <= a1.identity <= 0.975
+    # reverse strand exact read also verifies cleanly
+    a2 = max(aligner.align_batch([seq_to_codes(simdata.rc(exact))], ["r2"]),
+             key=lambda a: a.score)
+    assert a2.strand == "-" and a2.identity > 0.995
