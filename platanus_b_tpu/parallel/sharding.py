@@ -135,3 +135,110 @@ def count_reads_sharded(mesh: Mesh, codes: np.ndarray, k: int):
     order = np.lexsort(tuple(all_k[:, w] for w in
                              range(all_k.shape[1] - 1, -1, -1)))
     return all_k[order], all_c[order], np.asarray(hist), int(dropped)
+
+
+# ---------------------------------------------------------------------------
+# sharded DBG adjacency — key-space halo exchange
+# ---------------------------------------------------------------------------
+
+def sharded_adjacency_fn(mesh: Mesh, k: int, cap: int, slack: float = 2.5):
+    """Adjacency of a key-space-sharded DBG table (SURVEY §2.10 rows 2/4:
+    per-shard graph construction with neighbor-key "halo" exchange).
+
+    Each shard owns a sorted slice of canonical k-mer space (the output of
+    sharded_count_fn). For every owned k-mer it must test the existence of
+    8 extension neighbors (2 orientations x 4 bases, graph.h makeInitial
+    semantics via models.dbg._adjacency_kernel) — but a neighbor's owner
+    is `hash % n_shards`, usually a DIFFERENT shard. Instead of
+    replicating the table, the lookup itself is exchanged:
+
+      1. every shard generates its 8 canonical neighbor queries;
+      2. queries route to their owner shard with ONE all_to_all;
+      3. owners answer membership by local binary search;
+      4. answers ride the inverse all_to_all back (the (n_shards, cap_q)
+         slot layout makes the second all_to_all exactly the inverse
+         permutation — each answer lands at its query's recorded slot).
+
+    Returns a jitted fn: (keys (n, cap, W), counts (n, cap),
+    n_unique (n,)) -> (out (n, cap, 2) uint8 nibbles,
+    is_junction (n, cap) bool, n_junction (), n_edge ()).
+    """
+    from ..ops.multiword import revcomp, mw_shl2, mw_le as _mw_le
+    from ..ops.search import _lookup_jit
+
+    n = mesh.devices.size
+    W = num_words(k)
+    cap_q = max(int(8 * cap / n * slack), 64)
+
+    def step(keys, counts, n_unique):
+        keys = keys[0]          # (cap, W) local slice
+        counts = counts[0]
+        n_u = n_unique[0]
+        alive = counts > 0
+        dead_key = jnp.full_like(keys, SENTINEL)
+
+        # 1. neighbor queries (models.dbg._adjacency_kernel lines 63-78)
+        queries = []
+        for o in (0, 1):
+            ok = keys if o == 0 else revcomp(keys, k)
+            shifted = mw_shl2(ok, k)
+            for b in range(4):
+                q = shifted.at[..., -1].set(shifted[..., -1]
+                                            | np.uint32(b))
+                rc = revcomp(q, k)
+                canon = jnp.where(_mw_le(q, rc)[..., None], q, rc)
+                queries.append(jnp.where(alive[:, None], canon, dead_key))
+        q_all = jnp.concatenate(queries, axis=0)          # (8cap, W)
+        q_valid = ~jnp.all(q_all == jnp.uint32(SENTINEL), axis=-1)
+
+        # 2. route to owners, remembering each query's slot
+        owner = (mw_hash(q_all) % np.uint32(n)).astype(jnp.int32)
+        owner = jnp.where(q_valid, owner, n)
+        m = q_all.shape[0]
+        order = jnp.argsort(owner)                         # stable
+        sowner = owner[order]
+        sq = q_all[order]
+        cnts = jnp.zeros((n + 1,), jnp.int32).at[sowner].add(1)
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(cnts)[:-1]])
+        col = jnp.arange(m, dtype=jnp.int32) - starts[sowner]
+        in_range = (sowner < n) & (col < cap_q)
+        row = jnp.where(in_range, sowner, n)
+        send = jnp.full((n, cap_q, W), SENTINEL, dtype=jnp.uint32)
+        send = send.at[row, jnp.clip(col, 0, cap_q - 1)].set(
+            sq, mode="drop")
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+
+        # 3. answer membership locally
+        rq = recv.reshape(n * cap_q, W)
+        idx = _lookup_jit(keys, rq, n_u)
+        found = (idx >= 0) & alive[jnp.clip(idx, 0, cap - 1)]
+        ans = found.reshape(n, cap_q).astype(jnp.int8)
+
+        # 4. inverse exchange + scatter to query order
+        back = jax.lax.all_to_all(ans, AXIS, split_axis=0, concat_axis=0)
+        found_sorted = back[jnp.clip(row, 0, n - 1),
+                            jnp.clip(col, 0, cap_q - 1)] > 0
+        found_sorted = found_sorted & in_range
+        found_all = jnp.zeros((m,), bool).at[order].set(found_sorted)
+
+        exists = found_all.reshape(2, 4, cap).transpose(2, 0, 1)
+        out = jnp.sum(jnp.where(exists,
+                                jnp.uint8(1) << jnp.arange(4,
+                                                           dtype=jnp.uint8),
+                                0), axis=-1).astype(jnp.uint8)
+        outdeg = ((out & 1) + ((out >> 1) & 1) + ((out >> 2) & 1)
+                  + ((out >> 3) & 1)).astype(jnp.int32)
+        is_junction = alive & ((outdeg[:, 0] >= 2) | (outdeg[:, 1] >= 2))
+        n_junction = jax.lax.psum(jnp.sum(is_junction.astype(jnp.int32)),
+                                  AXIS)
+        n_edge = jax.lax.psum(
+            jnp.sum(jnp.where(alive[:, None], outdeg, 0)), AXIS)
+        return (out[None], is_junction[None], n_junction, n_edge)
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
