@@ -36,6 +36,9 @@ def add_parser(sub: argparse._SubParsersAction) -> None:
     p.add_argument("-kmer_occ_only", action="store_true",
                    help="only output k-mer occurrence table")
     p.add_argument("-repeat", action="store_true", help="repeat mode")
+    p.add_argument("-divide_straight", action="store_true",
+                   help="divide unitigs at read-uncovered positions "
+                        "(disabled in the reference binary)")
     p.set_defaults(func=run)
 
 
@@ -54,7 +57,8 @@ def run(args) -> int:
         k=args.k, max_k_ratio=args.K, step=args.s, min_coverage=args.c,
         manual_cutoff=args.n, log_p_split=args.a, bubble_threshold=args.u,
         branch_threshold=args.d, fixed_average_coverage=args.e,
-        repeat_mode=args.repeat, kmer_occ_only=args.kmer_occ_only)
+        repeat_mode=args.repeat, kmer_occ_only=args.kmer_occ_only,
+        divide_straight=args.divide_straight)
 
     batches = list(load_read_batches(args.f))
     result = assemble(batches, opts)

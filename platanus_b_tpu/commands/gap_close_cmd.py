@@ -37,6 +37,12 @@ def add_parser(sub) -> None:
     p.add_argument("-ed", type=float, default=0.01, help="max miss rate (DBG)")
     p.add_argument("-ro", type=float, default=0.66, help="min consensus (OLC)")
     p.add_argument("-rs", type=float, default=0.9, help="min consensus (single)")
+    p.add_argument("-close_small_gaps", action="store_true",
+                   help="consensus-close small gaps from -f single reads "
+                        "(disabled in the reference binary)")
+    p.add_argument("-circularize", action="store_true",
+                   help="trim self-overlaps of circular sequences "
+                        "(disabled in the reference binary)")
     p.add_argument("-a", action="store_true", help="disable pair gap close")
     p.add_argument("-no_partial", action="store_true")
     p.add_argument("-extend", action="store_true")
@@ -49,7 +55,9 @@ def add_parser(sub) -> None:
 def close_gaps(scaffolds, libs, seed_lengths=(32,), min_overlap_olc=32,
                min_overlap_dbg=32, olc_threshold=1000, max_edit_olc=1,
                max_miss_dbg=0.01, min_consensus_olc=0.66,
-               no_partial=False, disable_pair=False, extend=False):
+               no_partial=False, disable_pair=False, extend=False,
+               single_reads=None, close_small=False,
+               consensus_single=0.9):
     """Run the full per-library gap-close loop; mutates nothing, returns
     (closed scaffold seqs, gap list)."""
     if extend:
@@ -61,8 +69,21 @@ def close_gaps(scaffolds, libs, seed_lengths=(32,), min_overlap_olc=32,
     index = ContigIndex(scaffolds, key_length=32)
     gaps = gc.make_gap_table(scaffolds)
     LOG.counter("NUM_GAPS_TOTAL", len(gaps))
+
+    # -f single reads: small-gap spanning segments (mapSmallGap,
+    # gapClose.cpp:194-198; the consuming closeSmallGaps is disabled in
+    # the reference at :225 — close_small opts in)
+    if single_reads is not None and gaps:
+        LOG.info("[SINGLE_LIBRARY]")
+        s_codes, s_lens = single_reads
+        records = gc.map_small_gap(scaffolds, s_codes, s_lens,
+                                   seed_length=32)
+        if close_small:
+            gc.close_small_gaps(gaps, scaffolds, records,
+                                consensus_rate=consensus_single)
+
     if not gaps or disable_pair:
-        return list(scaffolds), gaps
+        return gc.generate_gap_closed_seqs(scaffolds, gaps), gaps
 
     prev_ins = 0
     for li, lib in enumerate(libs):
@@ -154,12 +175,35 @@ def run(args) -> int:
     covs = [fa.parse_cov(n) for _p, recs in file_recs for n, _c in recs]
     libs = load_libraries(args.libspecs)
 
+    single_reads = None
+    if args.f:
+        from ..io.reads import load_read_batches
+        mats, lens_all = [], []
+        lmax = 0
+        for b in load_read_batches(args.f):
+            if b.num_reads:
+                mats.append(b.codes)
+                lens_all.append(b.lengths)
+                lmax = max(lmax, b.codes.shape[1])
+        if mats:
+            total = sum(m.shape[0] for m in mats)
+            codes = np.full((total, lmax), 4, np.uint8)
+            r0 = 0
+            for m in mats:
+                codes[r0: r0 + m.shape[0], : m.shape[1]] = m
+                r0 += m.shape[0]
+            single_reads = (codes, np.concatenate(lens_all))
+
     closed, gaps = close_gaps(
         scaffolds, libs, seed_lengths=tuple(args.s),
         min_overlap_olc=args.vo, min_overlap_dbg=args.vd,
         olc_threshold=args.d, max_edit_olc=args.eo, max_miss_dbg=args.ed,
         min_consensus_olc=args.ro, no_partial=args.no_partial,
-        disable_pair=args.a, extend=args.extend)
+        disable_pair=args.a, extend=args.extend,
+        single_reads=single_reads, close_small=args.close_small_gaps,
+        consensus_single=args.rs)
+    if args.circularize:
+        gc.find_circular_seqs(closed)
     if args.extend:
         # strip leftover edge-pad Ns
         from ..models.polish import trim_edge_n

@@ -111,7 +111,8 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     args.libspecs = libspecs
     try:
-        rc = args.func(args)
+        with LOG.profile(os.environ.get("PLATANUS_B_TPU_PROFILE")):
+            rc = args.func(args)
     except PlatanusError as e:
         # typed exit codes like main.cpp:118-127
         LOG.info(f"ERROR({e.exit_id}): {e.message}")

@@ -30,6 +30,8 @@ def add_parser(sub) -> None:
     p.add_argument("-s", nargs="+", type=int, default=[32], help="seed lengths")
     p.add_argument("-l", type=int, default=3, help="min links")
     p.add_argument("-u", type=float, default=0.1, help="bubble threshold")
+    p.add_argument("-fastg", action="store_true",
+                   help="output only per-library scaffold-graph edge dumps")
     p.add_argument("-t", type=int, default=1, help="threads (parity)")
     p.add_argument("-tmp", default=".", help="tmp dir (parity)")
     p.set_defaults(func=run)
@@ -79,6 +81,21 @@ def run(args) -> int:
     if bubbles:
         hetero.merge_bubble(graph, bubbles)
     hetero.classify_node(graph)
+
+    if args.fastg:
+        # -fastg: per-library graph edge dump, no scaffolding
+        # (Scaffold::exec scaffold.cpp:156-160 + generateGraphFastg
+        # :565-575 via dumpAllEdges)
+        from ..models.scaffold import dump_all_edges
+        for li, lib in enumerate(libs):
+            graph.lib = lib
+            graph.pairs = mapped[li]
+            graph.tolerence = int(MAX_TOL_FACTOR * lib.sd_insert)
+            graph.min_link = args.l
+            graph.make_graph()
+            dump_all_edges(graph, f"{args.o}_lib{li + 1}_graph.fastg")
+        LOG.info("scaffold completed!")
+        return 0
 
     # per-library tolerance-ramped loops with hetero handling
     # (Scaffold::exec, scaffold.cpp:162-251)

@@ -353,6 +353,51 @@ def filter_reads_by_edge_kmers(batches: list[ReadBatch], edge_keys: np.ndarray,
     return out
 
 
+def divide_straight_node(dbg, batches: list[ReadBatch]) -> int:
+    """divideStraightNode by read mapping (graph.h:1150-1372):
+    makeKmerFromNode + mapRead + divideNode at node level.
+
+    NOTE: the reference DISABLES this pass — both call sites are commented
+    out (assemble.cpp:396, :528) — so it is off by default
+    (AssembleOptions.divide_straight) and exists for component parity.
+
+    Node-level redesign: the reference cuts each unitig down to the
+    intervals covered by fully-mapping reads (gatherMappingPosition merges
+    per-read k-mer runs; updateFillRead unions intervals that share >= 1
+    k-mer; divideNode deletes uncovered stretches). In the flat-node DBG
+    that is exactly: a read that maps EVERY window onto alive nodes marks
+    those nodes covered; uncovered non-junction nodes die, which trims,
+    cuts, and deletes unitigs in one bulk mask (pieces re-form on the next
+    labeling). Returns the number of deleted nodes."""
+    cap = dbg.capacity
+    covered = jnp.zeros((cap,), bool)
+    alive = dbg.alive
+    n_mapped = 0
+    for b in batches:
+        if b.num_reads == 0:
+            continue
+        padded = _pad_codes(b.codes)
+        keys, valid = extract_canonical_kmers(padded, dbg.k)
+        W = keys.shape[-1]
+        idx = lookup(dbg.keys, keys.reshape(-1, W), dbg.n)
+        idx = idx.reshape(valid.shape)
+        hit = (idx >= 0) & alive[jnp.clip(idx, 0, cap - 1)] & valid
+        # fully-mapping read: every valid window hits (mapRead breaks the
+        # whole read on any miss, graph.h:1275-1305)
+        read_ok = jnp.all(hit | ~valid, axis=1) & jnp.any(valid, axis=1)
+        sel = jnp.where(read_ok[:, None] & hit, idx, cap)
+        covered = covered.at[sel.reshape(-1)].set(True, mode="drop")
+        n_mapped += int(jnp.sum(read_ok[: b.num_reads]))
+    _si, _so, _out, _od, is_junction = dbg.topo
+    kill = alive & ~covered & ~is_junction
+    n_kill = int(jnp.sum(kill.astype(jnp.int32)))
+    if n_kill:
+        dbg.delete_nodes(kill)
+    LOG.counter("TOTAL_MAPPED_READS", n_mapped)
+    LOG.counter("NUM_DELETE_NODE(reads are unmapped)", n_kill)
+    return n_kill
+
+
 def count_considering_previous(contig_table: KmerTable,
                                batches: list[ReadBatch]) -> tuple[KmerTable, np.ndarray]:
     """makeKmerReadDistributionConsideringPreviousGraph (counter.h:663-750):
@@ -449,6 +494,8 @@ class AssembleOptions:
     fixed_average_coverage: float = 0.0  # -e (0 = auto)
     repeat_mode: bool = False    # -repeat
     kmer_occ_only: bool = False  # -kmer_occ_only
+    divide_straight: bool = False  # divideStraightNode pass (disabled in
+                                   # the reference: assemble.cpp:396,528)
 
     @property
     def min_log_p_join(self) -> float:
@@ -554,6 +601,11 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
         LOG.counter("AVE_KMER_COV_REMOVING_BUBBLE", average_coverage)
         clean.crush_bubble_iterative(dbg, average_coverage,
                                      opts.bubble_threshold, bubbles)
+
+    # optional read-mapping node division (the reference keeps this pass
+    # commented out at assemble.cpp:396,528; opt-in via -divide_straight)
+    if opts.divide_straight:
+        divide_straight_node(dbg, read_fp if len(ks) > 1 else batches)
 
     # final rebuild from the cleaned graph's own k-mers (outputAndAfterTreatment
     # runs saveGraph with diff = k - k = 0, so no edge k-mers survive the read

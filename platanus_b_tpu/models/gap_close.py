@@ -607,3 +607,188 @@ def generate_gap_closed_seqs(scaffolds: list[np.ndarray],
         out.append(np.concatenate(parts) if parts else s)
     LOG.counter("NUM_CLOSED_GAPS_TOTAL", n_closed)
     return out
+
+
+# ---------------------------------------------------------------------------
+# single-read small-gap path (-f)
+# ---------------------------------------------------------------------------
+
+# gapClose.cpp:39
+MIN_NUM_READS_COVERING_SMALL_GAP = 1
+
+
+def map_small_gap(scaffolds: list[np.ndarray], codes: np.ndarray,
+                  lengths: np.ndarray, seed_length: int = 32) -> list:
+    """mapSmallGap (mapper.cpp:1039-1263): single reads whose two end
+    seeds anchor the same scaffold around a small gap contribute the read
+    segment spanning it.
+
+    Returns records [(scaffold id 1-based, gap-anchor offset, segment codes
+    (possibly empty) , signed segment length)] — the gapSeqFP stream. A
+    negative length means the read says the flanks overlap.
+
+    NOTE: the reference computes this for -f reads (gapClose.cpp:196) but
+    its consumer closeSmallGaps is commented out (:225); close_small_gaps
+    below is therefore opt-in."""
+    # exact seed-position table over scaffolds (keyLength=32 seeds)
+    table: dict[bytes, list] = {}
+    for si, s in enumerate(scaffolds):
+        if len(s) < seed_length:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(s, seed_length)
+        ok = (win < 4).all(axis=1)
+        for off in np.nonzero(ok)[0]:
+            table.setdefault(win[off].tobytes(), []).append((si + 1,
+                                                             int(off)))
+
+    records = []
+    n_reads = len(lengths)
+    for ri in range(n_reads):
+        L = int(lengths[ri])
+        if L < 2 * seed_length:
+            continue
+        read = codes[ri, :L]
+        head = read[:seed_length]
+        tail = read[-seed_length:]
+        if (head >= 4).any() or (tail >= 4).any():
+            continue
+        for rev in (False, True):
+            r = read if not rev else _rc_gc(read)
+            h = r[:seed_length].tobytes()
+            t = r[-seed_length:].tobytes()
+            hits_l = table.get(h, ())
+            hits_r = table.get(t, ())
+            hit = None
+            for sid, off_l in hits_l:
+                for sid2, off_r in hits_r:
+                    if (sid2 != sid or off_r <= off_l
+                            or off_r - off_l + seed_length > 2 * L):
+                        continue
+                    hit = (sid, off_l, off_r)
+                    break
+                if hit:
+                    break
+            if hit is None:
+                continue
+            sid, off_l, off_r = hit
+            s = scaffolds[sid - 1]
+            # first/last N between the seeds (searchGapStart/End)
+            start = 0
+            for i in range(off_l + seed_length, off_r):
+                if s[i] == 4:
+                    start = i - off_l
+                    break
+            if start == 0:
+                continue
+            end = 0
+            for i in range(off_r - 1, off_l + seed_length - 1, -1):
+                if s[i] == 4:
+                    end = L - (off_r + seed_length - 1 - i)
+                    break
+            if end == 0:
+                continue
+            seg_len = end - start
+            seg = r[start:end] if seg_len > 0 else np.zeros(0, np.uint8)
+            records.append((sid, off_l + start, seg, seg_len))
+            break
+    LOG.counter("NUM_SMALL_GAP_READS", len(records))
+    return records
+
+
+def _rc_gc(codes: np.ndarray) -> np.ndarray:
+    out = codes[::-1].copy()
+    m = out < 4
+    out[m] = 3 - out[m]
+    return out
+
+
+def close_small_gaps(gaps: list[Gap], scaffolds: list[np.ndarray],
+                     records: list, consensus_rate: float = 0.9) -> int:
+    """closeSmallGaps + decideConsensusFromReads (gapClose.cpp:872-1010):
+    per gap, majority segment length (rate >= threshold), then per-column
+    base consensus; negative lengths validate flank overlap against the
+    scaffold. DISABLED at the reference call site (gapClose.cpp:225) —
+    callers opt in explicitly."""
+    by_pos: dict[tuple[int, int], int] = {}
+    for gi, g in enumerate(gaps):
+        for p in range(g.start, g.end):
+            by_pos[(g.scaffold_id, p)] = gi
+    per_gap: dict[int, list] = {}
+    for sid, off, seg, seg_len in records:
+        gi = by_pos.get((sid, off))
+        if gi is None:
+            continue
+        per_gap.setdefault(gi, []).append((seg, seg_len))
+    n_closed = 0
+    for gi, lst in per_gap.items():
+        if len(lst) < MIN_NUM_READS_COVERING_SMALL_GAP:
+            continue
+        lens = [sl for _s, sl in lst]
+        vals, cnts = np.unique(lens, return_counts=True)
+        best = int(np.argmax(cnts))
+        most_len = int(vals[best])
+        if cnts[best] / len(lst) < consensus_rate:
+            continue
+        g = gaps[gi]
+        if most_len <= 0:
+            # flank-overlap closure: bases before the gap must equal the
+            # bases most_len before the gap end (gapClose.cpp:907-918)
+            s = scaffolds[g.scaffold_id - 1]
+            ok = True
+            for i in range(-most_len):
+                a = s[g.start - i - 1]
+                b = s[g.end - most_len - i - 1]
+                if a != b or a == 4 or b == 4:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            g.closing_length = most_len - 1
+            g.closing_seq = np.zeros(0, np.uint8)
+        else:
+            mat = np.stack([s for s, sl in lst if sl == most_len])
+            cons = np.zeros(most_len, np.uint8)
+            agree = 0
+            for i in range(most_len):
+                bc = np.bincount(mat[:, i], minlength=5)[:4]
+                cons[i] = np.argmax(bc)
+                agree += int(bc.max())
+            if agree / (most_len * len(mat)) < consensus_rate:
+                continue
+            g.closing_length = most_len
+            g.closing_seq = cons
+        g.state = CLOSED
+        n_closed += 1
+    LOG.counter("NUM_CLOSED_SMALL_GAP", n_closed)
+    return n_closed
+
+
+# ---------------------------------------------------------------------------
+# circular sequence detection (disabled at the reference call site)
+# ---------------------------------------------------------------------------
+
+def self_overlap(seq: np.ndarray, min_overlap: int = MIN_OVERLAP_FOR_CIRCLE
+                 ) -> int:
+    """selfOverlap (gapClose.cpp:1183-1198): longest exact overlap of the
+    sequence's tail onto its own head (>= min_overlap), else 0."""
+    n = len(seq)
+    for i in range(n - 1, min_overlap - 1, -1):
+        if np.array_equal(seq[:i], seq[n - i:]):
+            return i
+    return 0
+
+
+def find_circular_seqs(seqs: list[np.ndarray]) -> list[bool]:
+    """findCircularGapClosedSeq (gapClose.cpp:1169-1181): trim the
+    self-overlap off circular sequences. Mutates seqs in place, returns
+    circular flags. DISABLED at the reference call site (:272) — opt-in."""
+    flags = []
+    for i, s in enumerate(seqs):
+        ov = self_overlap(s, MIN_OVERLAP_FOR_CIRCLE)
+        if ov >= MIN_OVERLAP_FOR_CIRCLE:
+            seqs[i] = s[: len(s) - ov]
+            flags.append(True)
+        else:
+            flags.append(False)
+    LOG.counter("NUM_CIRCULAR_SEQS", sum(flags))
+    return flags

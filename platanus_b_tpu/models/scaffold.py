@@ -1158,25 +1158,40 @@ class ScaffoldGraph:
         return results
 
 
-def mark_redundant_result_seq(results: list[ResultSeq]) -> None:
+def mark_redundant_result_seq(results: list[ResultSeq],
+                              contig_max_k: int = 32) -> None:
     """markRedundantResultSeq (pairedDBG.cpp:6266-6340): flag sequences
-    contained in a longer sequence (either strand).
-
-    Simplification (documented): containment is exact substring matching
-    rather than the reference's k-mer mapping + identity check; on
-    consensus output the contained sequences the reference flags are exact
-    or near-exact, so this keeps the dominant behavior.
+    exactly contained (either strand) in a longer sequence — the reference
+    is exact-substring matching accelerated by a shared-prefix index
+    (prefixLength = contigMaxK capped to the shortest sequence;
+    std::search at each prefix hit), reproduced here.
     """
+    live = [i for i, r in enumerate(results) if len(r.seq)]
+    if not live:
+        return
+    prefix_len = min(contig_max_k, min(len(results[i].seq) for i in live))
     strs = ["".join("ACGTN"[b] for b in r.seq) for r in results]
-    order = np.argsort([-len(s) for s in strs])
-    kept: list[str] = []
-    for oi in order:
-        s = strs[oi]
-        rc = s.translate(str.maketrans("ACGTN", "TGCAN"))[::-1]
-        if any(s in k or rc in k for k in kept):
-            results[oi].redundant = True
-        else:
-            kept.append(s)
+    prefix_to_idx: dict[str, list[int]] = {}
+    for i in live:
+        prefix_to_idx.setdefault(strs[i][:prefix_len], []).append(i)
+
+    comp = str.maketrans("ACGTN", "TGCAN")
+    for i in live:
+        for strand in (0, 1):
+            target = strs[i] if strand == 0 else \
+                strs[i].translate(comp)[::-1]
+            for base in range(len(target) - prefix_len + 1):
+                for j in prefix_to_idx.get(target[base: base + prefix_len],
+                                           ()):
+                    if j == i or results[j].redundant:
+                        continue
+                    sj = strs[j]
+                    if not (len(target) > len(sj)
+                            or (len(target) == len(sj) and i < j)):
+                        continue
+                    if (len(target) - base >= len(sj)
+                            and target[base: base + len(sj)] == sj):
+                        results[j].redundant = True
 
 
 # ---------------------------------------------------------------------------
@@ -1215,3 +1230,34 @@ def _pack64_row(key: np.ndarray) -> np.uint64:
     if len(k) == 1:
         return k[0]
     return (k[0] << np.uint64(32)) | k[1]
+
+
+def dump_all_edges(graph: ScaffoldGraph, path: str) -> None:
+    """dumpAllEdges (scaffoldGraph.h:358, .cpp dumpAllEdges): TSV of every
+    forward edge with node lengths, repeat states, component contig-name
+    runs, edge length/link count/score — the graph debugging artifact."""
+    def component(nd: GraphNode, flip: bool) -> str:
+        parts = nd.contigs if not flip else \
+            [(-cid, st, ed) for cid, st, ed in reversed(nd.contigs)]
+        return ";".join(("-" if cid < 0 else "")
+                        + graph.names[abs(cid) - 1]
+                        for cid, _s, _e in parts)
+
+    with open(path, "w") as out:
+        out.write("#node1_ID\tnode1_len\tnode1_state\tnode1_component\t"
+                  "edge_len\tedge_num_links\tnode2_ID\tnode2_len\t"
+                  "node2_state\tnode2_component\tscore\n")
+        for ni, nd in enumerate(graph.node):
+            for e in nd.edges:
+                if e.direction <= 0:
+                    continue
+                n2 = graph.node[abs(e.end) - 1]
+                out.write("\t".join([
+                    str(ni + 1), str(nd.length),
+                    "rep" if nd.state & SC_REP else "non_rep",
+                    component(nd, False),
+                    str(e.length), str(e.num_link), str(e.end),
+                    str(n2.length),
+                    "rep" if n2.state & SC_REP else "non_rep",
+                    component(n2, e.end < 0),
+                    str(e.score)]) + "\n")

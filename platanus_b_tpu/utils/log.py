@@ -52,5 +52,37 @@ class StageLogger:
         except OSError:
             pass
 
+    def report_device_memory(self) -> None:
+        """Per-device HBM telemetry (jax memory_stats), the device-side
+        analog of VmPeak."""
+        try:
+            import jax
+            for d in jax.devices():
+                stats = d.memory_stats() or {}
+                used = stats.get("bytes_in_use", 0) / (1 << 30)
+                peak = stats.get("peak_bytes_in_use", 0) / (1 << 30)
+                lim = stats.get("bytes_limit", 0) / (1 << 30)
+                self.info(f"#### DEVICE {d.id} ({d.platform}) #### "
+                          f"in_use: {used:.3f} GiB, peak: {peak:.3f} GiB, "
+                          f"limit: {lim:.3f} GiB")
+        except Exception:
+            pass
+
+    @contextlib.contextmanager
+    def profile(self, trace_dir: str | None):
+        """JAX profiler scope: traces every device op into trace_dir for
+        xprof/TensorBoard when set (enabled CLI-wide via the
+        PLATANUS_B_TPU_PROFILE env var); no-op otherwise."""
+        if not trace_dir:
+            yield
+            return
+        import jax
+        jax.profiler.start_trace(trace_dir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+            self.info(f"JAX profiler trace written to {trace_dir}")
+
 
 LOG = StageLogger()

@@ -161,3 +161,43 @@ def test_edit_distance_batch_oracle(rng):
     got = np.asarray(edit_distance_batch(a, la, b, lb))
     for i in range(P):
         assert got[i] == edit_distance_np(a[i, : la[i]], b[i, : lb[i]])
+
+
+def test_divide_straight_node(rng):
+    """divideStraightNode (graph.h:1150-1372) at node level: k-mer nodes
+    not covered by any fully-mapping read are deleted, cutting/trimming
+    unitigs."""
+    import simdata
+    from platanus_b_tpu.io.fasta import seq_to_codes
+    from platanus_b_tpu.io.reads import ReadBatch
+    from platanus_b_tpu.models.assemble_core import (count_reads,
+                                                     divide_straight_node)
+    from platanus_b_tpu.models.dbg import DBG
+
+    k = 21
+    genome = simdata.random_genome(rng, 600)
+    # table from the full genome (one long unitig)
+    full = seq_to_codes(genome)
+    batch_full = ReadBatch(full[None, :].copy(),
+                           np.array([len(full)], np.int32))
+    table, _ = count_reads([batch_full], k)
+    dbg = DBG(k, table.keys, table.counts)
+    before = dbg.num_alive()
+    u0 = dbg.label_unitigs()
+    assert u0.num_unitigs == 1
+
+    # reads cover only [0,250) and [350,600): the middle is uncovered
+    reads = []
+    for lo, hi in ((0, 250), (350, 600)):
+        for st in range(lo, hi - 60, 20):
+            reads.append(seq_to_codes(genome[st: st + 60]))
+    mat = np.full((len(reads), 60), 4, np.uint8)
+    for i, r in enumerate(reads):
+        mat[i, : len(r)] = r
+    rb = ReadBatch(mat, np.full(len(reads), 60, np.int32))
+
+    n_kill = divide_straight_node(dbg, [rb])
+    assert n_kill > 0
+    assert dbg.num_alive() < before
+    u1 = dbg.label_unitigs()
+    assert u1.num_unitigs == 2   # cut at the uncovered middle

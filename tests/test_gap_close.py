@@ -71,3 +71,58 @@ def test_gap_close_cli_e2e(rng, tmp_path):
     # the 200bp gap must be fully closed with the true sequence
     assert "N" not in seq
     assert seq == genome
+
+
+def test_map_small_gap_and_close(rng):
+    """mapSmallGap (mapper.cpp:1039) + closeSmallGaps (gapClose.cpp:872,
+    disabled at the reference call site): single reads spanning a small
+    gap close it by consensus."""
+    import simdata
+    from platanus_b_tpu.io.fasta import seq_to_codes
+    from platanus_b_tpu.models import gap_close as gc
+
+    genome = simdata.random_genome(rng, 2000)
+    true_fill = genome[900:950]   # 50bp gap
+    scaf = seq_to_codes(genome[:900] + "N" * 50 + genome[950:])
+    scaffolds = [scaf]
+    gaps = gc.make_gap_table(scaffolds)
+    assert len(gaps) == 1
+
+    # single reads spanning the gap (150bp centered)
+    reads = []
+    for st in range(800, 880, 10):
+        reads.append(seq_to_codes(genome[st: st + 200]))
+    mat = np.full((len(reads), 200), 4, np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        mat[i, : len(r)] = r
+        lens[i] = len(r)
+    records = gc.map_small_gap(scaffolds, mat, lens, seed_length=32)
+    assert len(records) >= 4
+    # every record's segment is the true fill
+    for sid, off, seg, seg_len in records:
+        assert sid == 1 and seg_len == 50
+        assert "".join("ACGT"[b] for b in seg) == true_fill
+
+    n = gc.close_small_gaps(gaps, scaffolds, records, consensus_rate=0.9)
+    assert n == 1
+    closed = gc.generate_gap_closed_seqs(scaffolds, gaps)
+    assert "".join("ACGTN"[b] for b in closed[0]) == genome
+
+
+def test_self_overlap_and_circular(rng):
+    """selfOverlap / findCircularGapClosedSeq (gapClose.cpp:1169-1198,
+    disabled at the reference call site)."""
+    import simdata
+    from platanus_b_tpu.io.fasta import seq_to_codes
+    from platanus_b_tpu.models import gap_close as gc
+
+    core = simdata.random_genome(rng, 800)
+    circ = seq_to_codes(core + core[:150])   # 150bp self-overlap
+    lin = seq_to_codes(simdata.random_genome(rng, 700))
+    assert gc.self_overlap(circ) == 150
+    assert gc.self_overlap(lin) == 0
+    seqs = [circ, lin]
+    flags = gc.find_circular_seqs(seqs)
+    assert flags == [True, False]
+    assert len(seqs[0]) == 800 and len(seqs[1]) == 700
