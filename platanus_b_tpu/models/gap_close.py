@@ -508,10 +508,19 @@ def local_assemble_extra_contigs(gaps: list[Gap]) -> list[np.ndarray]:
 
 def _best_overlap(a: np.ndarray, b: np.ndarray, min_overlap: int,
                   max_edit: int) -> int:
-    """Longest suffix(a)/prefix(b) overlap with <= max_edit mismatches."""
+    """Longest suffix(a)/prefix(b) overlap within <= max_edit edits
+    (banded edit distance, pairwiseAlignmentOLC gapCloseOLC.cpp:147-318 —
+    indels allowed, not just mismatches)."""
+    from .hetero import align_scaffold
+
     top = min(len(a), len(b))
     for ov in range(top, min_overlap - 1, -1):
-        if int((a[len(a) - ov:] != b[:ov]).sum()) <= max_edit:
+        suf = a[len(a) - ov:]
+        pre = b[:ov]
+        # cheap exact/mismatch pass first; banded DP only when it fails
+        if int((suf != pre).sum()) <= max_edit:
+            return ov
+        if max_edit > 0 and align_scaffold(suf, pre, max_edit) <= max_edit:
             return ov
     return 0
 
@@ -525,6 +534,10 @@ def olc_close_gap(gap: Gap, min_overlap=32, max_edit=1,
         return False
     layout = gap.head.copy()
     used = np.zeros(len(reads), dtype=bool)
+    # distance-consistency state (checkDistance/selectProperLink,
+    # gapCloseOLC.cpp:555-637): a read keeps one layout position; votes
+    # from contradictory placements are rejected
+    placement: dict[int, int] = {}
     max_total = gap.length + 2 * HEAD_TAIL_SEQ_LEN + sum(len(r) for r in reads)
     while len(layout) < max_total:
         # closed? tail flank overlaps layout end
@@ -547,6 +560,11 @@ def olc_close_gap(gap: Gap, min_overlap=32, max_edit=1,
             ov = _best_overlap(layout, r, min_overlap, max_edit)
             if ov == 0 or ov >= len(r):
                 continue
+            pos = len(layout) - ov
+            prev_pos = placement.get(ri)
+            if prev_pos is not None and abs(prev_pos - pos) > max_edit:
+                continue   # contradictory placement: no vote
+            placement.setdefault(ri, pos)
             ext = r[ov:]
             placed = True
             for j, b in enumerate(ext):

@@ -17,12 +17,52 @@ anchor-estimated matches/identity.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
 
 from ..ops.minimizer import sketch
 from ..utils.log import LOG
+
+
+@functools.lru_cache(maxsize=None)
+def _chain_kernel(cap: int, H: int, max_gap: int, kk: int):
+    """Batched colinear-chaining DP (minimap2 chain.c semantics) as a
+    vmapped lax.fori_loop: B anchor groups (padded to `cap`) advance in
+    parallel; each step scans an H-deep lookback window — the device
+    replacement for the per-anchor Python loop."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(q, t, n):
+        offs = jnp.arange(1, H + 1)
+
+        def body(i, state):
+            f, prev = state
+            j = i - offs
+            jc = jnp.clip(j, 0, cap - 1)
+            valid = (j >= 0) & (i < n)
+            dq = q[i] - q[jc]
+            dt = t[i] - t[jc]
+            ok = valid & (dq > 0) & (dt > 0) & (dq <= max_gap) \
+                & (dt <= max_gap)
+            gain = jnp.minimum(jnp.minimum(dq, dt), kk).astype(jnp.float32)
+            gap = jnp.abs(dq - dt).astype(jnp.float32)
+            cost = gap * 0.1 + jnp.where(gap > 0,
+                                         jnp.log2(gap + 1.0) * 0.5, 0.0)
+            cand = jnp.where(ok, f[jc] + gain - cost, -jnp.inf)
+            b = jnp.argmax(cand)
+            better = cand[b] > f[i]
+            f = f.at[i].set(jnp.where(better, cand[b], f[i]))
+            prev = prev.at[i].set(jnp.where(better, jc[b], prev[i]))
+            return f, prev
+
+        f0 = jnp.full((cap,), float(kk), jnp.float32)
+        prev0 = jnp.full((cap,), -1, jnp.int32)
+        return jax.lax.fori_loop(1, cap, body, (f0, prev0))
+
+    return jax.jit(jax.vmap(one))
 
 
 @dataclass
@@ -141,16 +181,88 @@ class LongReadAligner:
             chunk = reads[c0: c0 + CHUNK]
             mat, lens = _pad_batch(chunk)
             sks = sketch(mat, lens, p.k, p.w)
+            groups = []
             for ri, (h, qpos, qstrand) in enumerate(sks):
-                out.extend(self._align_one(h, qpos, qstrand,
-                                           names[c0 + ri], len(chunk[ri]),
-                                           chunk[ri] if verify else None))
+                groups.extend(self._collect_groups(
+                    h, qpos, qstrand, names[c0 + ri], len(chunk[ri]),
+                    chunk[ri] if verify else None))
+            out.extend(self._chain_groups(groups))
         if verify:
             verify_alignments_batched(out)
         return out
 
-    def _align_one(self, h, qpos, qstrand, qname, qlen,
-                   qcodes=None) -> list[Alignment]:
+    def _chain_groups(self, groups) -> list[Alignment]:
+        """Run the chaining DP over all anchor groups of a read chunk:
+        groups bucket by padded size and go through the vmapped device
+        kernel together; chain extraction/backtrack stays on host."""
+        import jax.numpy as jnp
+
+        from ..ops.padding import next_pow2
+
+        p = self.p
+        out: list[Alignment] = []
+        buckets: dict[int, list[int]] = {}
+        for gi, g in enumerate(groups):
+            buckets.setdefault(next_pow2(len(g["q"]), minimum=16),
+                               []).append(gi)
+        for cap, gis in buckets.items():
+            B = len(gis)
+            qs = np.zeros((B, cap), np.int32)
+            ts = np.zeros((B, cap), np.int32)
+            ns = np.zeros((B,), np.int32)
+            for bi, gi in enumerate(gis):
+                g = groups[gi]
+                n = len(g["q"])
+                qs[bi, :n] = g["q"]
+                ts[bi, :n] = g["t"]
+                ns[bi] = n
+            kern = _chain_kernel(cap, p.lookback, p.max_gap, p.k)
+            f_all, prev_all = kern(jnp.asarray(qs), jnp.asarray(ts),
+                                   jnp.asarray(ns))
+            f_all = np.asarray(f_all)
+            prev_all = np.asarray(prev_all)
+            for bi, gi in enumerate(gis):
+                g = groups[gi]
+                n = len(g["q"])
+                chains = _extract_chains(f_all[bi, :n], prev_all[bi, :n], p)
+                out.extend(self._build_alignments(g, chains))
+        return out
+
+    def _build_alignments(self, g, chains) -> list[Alignment]:
+        p = self.p
+        qq2, t2 = g["q"], g["t"]
+        rev, qname, qlen, oq, ti = (g["rev"], g["qname"], g["qlen"],
+                                    g["oq"], g["tid"])
+        out = []
+        for idx, score in chains:
+            qs_r = qq2[idx]
+            ts_r = t2[idx]
+            n_anchor = len(idx)
+            matches = min(n_anchor * p.k, int(ts_r[-1] - ts_r[0]) + p.k)
+            t_start = int(ts_r[0])
+            t_end = int(ts_r[-1]) + p.k
+            qq_start = int(qs_r[0])
+            qq_end = int(qs_r[-1]) + p.k
+            if rev:
+                q_start = qlen - qq_end
+                q_end = qlen - qq_start
+            else:
+                q_start, q_end = qq_start, qq_end
+            block = max(q_end - q_start, t_end - t_start)
+            segments = None
+            if oq is not None:
+                segments = _chain_segments(oq, self.targets[ti], qs_r,
+                                           ts_r, p.k)
+            out.append(Alignment(
+                q_name=qname, q_len=qlen, q_start=q_start, q_end=q_end,
+                strand="-" if rev else "+", t_name=self.names[ti],
+                t_len=int(self.t_lens[ti]), t_start=t_start, t_end=t_end,
+                matches=matches, block_len=block, score=int(score),
+                _segments=segments))
+        return out
+
+    def _collect_groups(self, h, qpos, qstrand, qname, qlen,
+                        qcodes=None) -> list[dict]:
         p = self.p
         lo = np.searchsorted(self.idx_hash, h, side="left")
         hi = np.searchsorted(self.idx_hash, h, side="right")
@@ -186,35 +298,10 @@ class LongReadAligner:
                 oq = _rc_codes(qcodes) if rev else np.asarray(qcodes,
                                                               np.uint8)
             for st, en in _group_runs(tid2):
-                chains = _chain(qq2[st:en], t2[st:en], p)
-                for idx, score in chains:
-                    qs_r = qq2[st:en][idx]
-                    ts_r = t2[st:en][idx]
-                    n_anchor = len(idx)
-                    matches = min(n_anchor * p.k,
-                                  int(ts_r[-1] - ts_r[0]) + p.k)
-                    t_start = int(ts_r[0])
-                    t_end = int(ts_r[-1]) + p.k
-                    qq_start = int(qs_r[0])
-                    qq_end = int(qs_r[-1]) + p.k
-                    if rev:
-                        q_start = qlen - qq_end
-                        q_end = qlen - qq_start
-                    else:
-                        q_start, q_end = qq_start, qq_end
-                    block = max(q_end - q_start, t_end - t_start)
-                    ti = int(tid2[st])
-                    segments = None
-                    if oq is not None:
-                        segments = _chain_segments(
-                            oq, self.targets[ti], qs_r, ts_r, p.k)
-                    out.append(Alignment(
-                        q_name=qname, q_len=qlen, q_start=q_start,
-                        q_end=q_end, strand="-" if rev else "+",
-                        t_name=self.names[ti], t_len=int(self.t_lens[ti]),
-                        t_start=t_start, t_end=t_end, matches=matches,
-                        block_len=block, score=int(score),
-                        _segments=segments))
+                out.append({"q": qq2[st:en].astype(np.int64),
+                            "t": t2[st:en].astype(np.int64),
+                            "tid": int(tid2[st]), "rev": rev,
+                            "qname": qname, "qlen": qlen, "oq": oq})
         return out
 
 
@@ -297,35 +384,13 @@ def _group_runs(arr):
         yield int(s), int(e)
 
 
-def _chain(q: np.ndarray, t: np.ndarray, p: Preset):
-    """Colinear chaining with bounded lookback (minimap2 chain.c semantics).
-
-    Anchors are sorted by (t, q). score(j->i) = min(dq, dt, k) - gap_cost,
-    gap_cost = |dq - dt| * 0.1 + small log penalty. Returns chains as
-    (anchor index arrays, score), non-overlapping by greedy backtrack.
-    """
-    n = len(q)
+def _extract_chains(f: np.ndarray, prev: np.ndarray, p: Preset):
+    """Greedy best-first chain extraction over the DP result
+    (minimap2 chain.c backtrack semantics): non-overlapping chains with
+    score >= min_chain_score and >= min_chain_anchors anchors."""
+    n = len(f)
     if n == 0:
         return []
-    f = np.full(n, p.k, dtype=np.float64)
-    prev = np.full(n, -1, dtype=np.int64)
-    H = p.lookback
-    for i in range(1, n):
-        j0 = max(0, i - H)
-        dq = q[i] - q[j0:i]
-        dt = t[i] - t[j0:i]
-        ok = (dq > 0) & (dt > 0) & (dq <= p.max_gap) & (dt <= p.max_gap)
-        if not ok.any():
-            continue
-        gain = np.minimum(np.minimum(dq, dt), p.k).astype(np.float64)
-        gap = np.abs(dq - dt)
-        cost = gap * 0.1 + np.where(gap > 0, np.log2(gap + 1) * 0.5, 0.0)
-        cand = np.where(ok, f[j0:i] + gain - cost, -np.inf)
-        b = int(np.argmax(cand))
-        if cand[b] > f[i]:
-            f[i] = cand[b]
-            prev[i] = j0 + b
-    # extract chains best-first
     used = np.zeros(n, dtype=bool)
     chains = []
     for i in np.argsort(-f):
