@@ -116,14 +116,10 @@ class ContigIndex:
 # mapRead kernel
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("key_len", "word_len", "S", "H"))
-def _map_kernel(key_table, key_pos, pool, starts, clens, table_len,
-                codes, lengths, key_len: int, word_len: int, S: int, H: int):
-    """Map every read; returns (id, offset) per read.
-
-    id: +-(contig+1), 0 = unmapped; offset = contig position of read base 0
-    in mapping orientation (mapper.cpp:355,366 normalization).
-    """
+def _map_votes(key_table, key_pos, pool, starts, clens, table_len,
+               codes, lengths, key_len: int, word_len: int, S: int, H: int):
+    """Shared seed-vote computation of the mapping kernels: per-seed
+    uniquely-extended positions (vote_id/vote_off, 0 = none)."""
     R, L = codes.shape
     W = key_table.shape[-1]
     P = max(L - key_len + 1, 1)
@@ -131,7 +127,10 @@ def _map_kernel(key_table, key_pos, pool, starts, clens, table_len,
 
     fkeys, fvalid = extract_forward_kmers(codes, key_len)  # (R, P, W)
     if fkeys.shape[1] == 0:
-        return jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32)
+        z = jnp.zeros((R, S), jnp.int32)
+        zc = jnp.zeros((R, S, H), jnp.int32)
+        return (z, z, jnp.zeros((R, S), bool),
+                (zc.astype(bool), zc.astype(bool), zc, zc, z))
 
     # seed start positions, from the tail (mapper.cpp:330-332)
     s_idx = jnp.arange(S, dtype=jnp.int32)
@@ -191,6 +190,22 @@ def _map_kernel(key_table, key_pos, pool, starts, clens, table_len,
     vote_off = jnp.where(v_isfwd, v_off - i_s,
                          v_off + i_s + key_len - 1).astype(jnp.int32)
     vote_id = jnp.where(seed_valid, vote_id, 0)
+    return (vote_id, vote_off, seed_valid,
+            (ok, is_fwd, cid, offset, i_s))
+
+
+@functools.partial(jax.jit, static_argnames=("key_len", "word_len", "S", "H"))
+def _map_kernel(key_table, key_pos, pool, starts, clens, table_len,
+                codes, lengths, key_len: int, word_len: int, S: int, H: int):
+    """Map every read; returns (id, offset) per read.
+
+    id: +-(contig+1), 0 = unmapped; offset = contig position of read base 0
+    in mapping orientation (mapper.cpp:355,366 normalization).
+    """
+    R = codes.shape[0]
+    vote_id, vote_off, seed_valid, _cands = _map_votes(
+        key_table, key_pos, pool, starts, clens, table_len, codes, lengths,
+        key_len, word_len, S, H)
 
     # modal (id, offset) vote with unique-top-group rule (mapper.cpp:383-409)
     eq = ((vote_id[:, :, None] == vote_id[:, None, :])
@@ -205,6 +220,72 @@ def _map_kernel(key_table, key_pos, pool, starts, clens, table_len,
     boff = jnp.take_along_axis(vote_off, best[:, None], 1)[:, 0]
     return (jnp.where(mapped, bid, 0).astype(jnp.int32),
             jnp.where(mapped, boff, 0).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("key_len", "word_len", "S", "H"))
+def _map_kernel_multi(key_table, key_pos, pool, starts, clens, table_len,
+                      codes, lengths, key_len: int, word_len: int, S: int,
+                      H: int):
+    """Multi-report variant (mapReadMultiReportsMultiSeed,
+    mapper.cpp:415-536): EVERY successfully extended candidate position is
+    reported — no unique-extension or modal-vote filtering. Returns
+    (ids, offs) of shape (R, S*H) with 0 = empty slot."""
+    _vi, _vo, _sv, cands = _map_votes(
+        key_table, key_pos, pool, starts, clens, table_len, codes, lengths,
+        key_len, word_len, S, H)
+    ok, is_fwd, cid, offset, i_s = cands
+    rep_id = jnp.where(ok, jnp.where(is_fwd, cid + 1, -(cid + 1)), 0)
+    rep_off = jnp.where(is_fwd, offset - i_s[..., None],
+                        offset + i_s[..., None] + key_len - 1)
+    rep_off = jnp.where(ok, rep_off, 0)
+    R = rep_id.shape[0]
+    return (rep_id.reshape(R, -1).astype(jnp.int32),
+            rep_off.reshape(R, -1).astype(jnp.int32))
+
+
+def map_reads_multi(index: ContigIndex, codes: np.ndarray,
+                    lengths: np.ndarray,
+                    seed_lengths: list[int] | tuple[int, ...] = (32,),
+                    max_candidates: int = MAX_CANDIDATES):
+    """All distinct mapped positions per read (multi-report).
+
+    Returns (read_idx, ids, offs) flat arrays: one row per distinct
+    (read, signed contig id, offset) report, seed lengths falling through
+    for reads with zero reports (mapReadMultiReportsMultiSeedFiltered,
+    mapper.cpp:506-536)."""
+    kt, kp, pool, starts, clens, tl = index.device_arrays()
+    R, L = codes.shape
+    rows_out = []
+    todo = np.ones((R,), bool)
+    for word_len in seed_lengths:
+        word_len = int(word_len)
+        if not todo.any() or L < word_len:
+            break
+        S = max(-(-L // word_len) + 1, 1)
+        vid, voff = _map_kernel_multi(kt, kp, pool, starts, clens, tl,
+                                      jnp.asarray(codes),
+                                      jnp.asarray(lengths),
+                                      index.key_length, word_len, S,
+                                      max_candidates)
+        vid, voff = np.asarray(vid), np.asarray(voff)
+        ridx = np.repeat(np.arange(R), vid.shape[1])
+        flat_id = vid.reshape(-1)
+        flat_off = voff.reshape(-1)
+        keep = (flat_id != 0) & todo[ridx]
+        if keep.any():
+            rec = np.stack([ridx[keep], flat_id[keep], flat_off[keep]],
+                           axis=1)
+            rec = np.unique(rec, axis=0)
+            rows_out.append(rec)
+            todo[np.unique(rec[:, 0])] = False
+    if not rows_out:
+        z = np.zeros(0, np.int64)
+        return z, z.astype(np.int32), z.astype(np.int32)
+    rec = np.concatenate(rows_out, axis=0)
+    order = np.lexsort((rec[:, 2], rec[:, 1], rec[:, 0]))
+    rec = rec[order]
+    return (rec[:, 0].astype(np.int64), rec[:, 1].astype(np.int32),
+            rec[:, 2].astype(np.int32))
 
 
 def map_reads(index: ContigIndex, codes: np.ndarray, lengths: np.ndarray,

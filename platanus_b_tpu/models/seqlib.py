@@ -399,12 +399,15 @@ def count_mapped_tag_for_each_contig(index: ContigIndex, tag_lib: TagLibrary,
     scaffoldGraph.cpp:522-591): map both tagged ends onto contigs and count
     reads per (tag, contig). Returns (tag_ids, contig_indices, counts)."""
     LOG.info("mapping tagged reads...")
-    fid, _foff = map_reads(index, tag_lib.fwd_codes, tag_lib.fwd_lengths,
-                           seed_lengths)
-    rid, _roff = map_reads(index, tag_lib.rev_codes, tag_lib.rev_lengths,
-                           seed_lengths)
+    # multi-report mapping: a tag counts on EVERY contig its reads touch
+    # (mapTagPairMT uses mapReadMultiReportsMultiSeed, mapper.cpp:1803)
+    from .mapper import map_reads_multi
+    f_ri, fid, _fo = map_reads_multi(index, tag_lib.fwd_codes,
+                                     tag_lib.fwd_lengths, seed_lengths)
+    r_ri, rid, _ro = map_reads_multi(index, tag_lib.rev_codes,
+                                     tag_lib.rev_lengths, seed_lengths)
     ids = np.concatenate([fid, rid])
-    tags = np.concatenate([tag_lib.tags, tag_lib.tags])
+    tags = np.concatenate([tag_lib.tags[f_ri], tag_lib.tags[r_ri]])
     keep = (ids != 0) & (tags != 0)
     cidx = np.abs(ids[keep]) - 1
     tkeep = tags[keep]

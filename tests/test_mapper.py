@@ -125,3 +125,24 @@ def test_find_distribution_peak():
     x = np.arange(1000)
     dist += np.maximum(0, 500 - np.abs(x - 420) * 5).astype(np.int64)
     assert abs(seqlib.find_distribution_peak(dist) - 420) <= 2
+
+
+def test_map_reads_multi_reports_all_positions(rng):
+    """mapReadMultiReportsMultiSeed (mapper.cpp:415-536): a read present
+    in two contigs reports both positions."""
+    import simdata
+    from platanus_b_tpu.io.fasta import seq_to_codes
+    from platanus_b_tpu.models.mapper import ContigIndex, map_reads_multi
+
+    shared = simdata.random_genome(rng, 300)
+    c1 = seq_to_codes(simdata.random_genome(rng, 200) + shared)
+    c2 = seq_to_codes(shared + simdata.random_genome(rng, 250))
+    index = ContigIndex([c1, c2], key_length=32)
+    read = seq_to_codes(shared[100:200])
+    codes = read[None, :].copy()
+    lens = np.array([100], np.int32)
+    ridx, ids, offs = map_reads_multi(index, codes, lens, (32,))
+    got = {(int(i), int(o)) for i, o in zip(ids, offs)}
+    assert (1, 300) in got   # inside c1 (200 + 100)
+    assert (2, 100) in got   # inside c2
+    assert (ridx == 0).all()
