@@ -239,16 +239,22 @@ def _sequence_kernel(keys, uid, upos, uorient, k: int, lmax: int):
     last_base = (oriented[:, -1] & 3).astype(jnp.uint8)
     member = uid >= 0
     seg_u = jnp.where(member, uid, cap)
-    seqs = jnp.full((cap, lmax), 4, dtype=jnp.uint8)
     col = jnp.clip(upos + k - 1, 0, lmax - 1)
-    seqs = seqs.at[seg_u, col].set(last_base, mode="drop")
-    # head nodes contribute their full first k-1 bases in one scatter
+    # 1-D scatters into the flattened (cap*lmax) buffer: 2-D scatter index
+    # tensors of shape (N, small, 2) tile to T(8,128) on TPU with a ~64x
+    # padding blowup (16 GB at 1M nodes); flat indices stay compact
+    flat = jnp.full((cap * lmax + 1,), 4, dtype=jnp.uint8)
+    idx1 = jnp.where(member, seg_u * lmax + col, cap * lmax)
+    flat = flat.at[idx1].set(last_base, mode="drop")
+    # head nodes contribute their full first k-1 bases
     head_codes = kmer_to_codes(oriented, k)  # (N, k)
     head_rows = jnp.where(member & (upos == 0), uid, cap)
-    seqs = seqs.at[head_rows[:, None],
-                   jnp.arange(k - 1)[None, :]].set(head_codes[:, : k - 1],
-                                                   mode="drop")
-    return seqs
+    idx2 = jnp.where((head_rows < cap)[:, None],
+                     head_rows[:, None] * lmax
+                     + jnp.arange(k - 1)[None, :], cap * lmax)
+    flat = flat.at[idx2.reshape(-1)].set(
+        head_codes[:, : k - 1].reshape(-1), mode="drop")
+    return flat[: cap * lmax].reshape(cap, lmax)
 
 
 class DBG:

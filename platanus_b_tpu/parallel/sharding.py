@@ -61,10 +61,16 @@ def _shuffle_to_owners(keys_flat: jnp.ndarray, valid_flat: jnp.ndarray,
     col = jnp.arange(m, dtype=jnp.int32) - starts[sowner]
     in_range = (sowner < n_shards) & (col < cap_per_dest)
     n_dropped = jnp.sum(((sowner < n_shards) & ~in_range).astype(jnp.int32))
-    row = jnp.where(in_range, sowner, n_shards)
-    send = jnp.full((n_shards, cap_per_dest, W), SENTINEL, dtype=jnp.uint32)
-    send = send.at[row, jnp.clip(col, 0, cap_per_dest - 1)].set(
-        skeys, mode="drop")
+    # flat 1-D scatter: a (m, 2) scatter-index tensor tiles to T(8,128)
+    # on TPU with ~64x padding; row*cap+col keeps indices compact
+    flat_idx = jnp.where(in_range & (sowner < n_shards),
+                         sowner * cap_per_dest
+                         + jnp.clip(col, 0, cap_per_dest - 1),
+                         n_shards * cap_per_dest)
+    send = jnp.full((n_shards * cap_per_dest + 1, W), SENTINEL,
+                    dtype=jnp.uint32)
+    send = send.at[flat_idx].set(skeys, mode="drop")
+    send = send[:-1].reshape(n_shards, cap_per_dest, W)
     recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
     return recv.reshape(n_shards * cap_per_dest, W), n_dropped
 
@@ -203,10 +209,11 @@ def sharded_adjacency_fn(mesh: Mesh, k: int, cap: int, slack: float = 2.5):
                                   jnp.cumsum(cnts)[:-1]])
         col = jnp.arange(m, dtype=jnp.int32) - starts[sowner]
         in_range = (sowner < n) & (col < cap_q)
-        row = jnp.where(in_range, sowner, n)
-        send = jnp.full((n, cap_q, W), SENTINEL, dtype=jnp.uint32)
-        send = send.at[row, jnp.clip(col, 0, cap_q - 1)].set(
-            sq, mode="drop")
+        flat_idx = jnp.where(in_range, sowner * cap_q
+                             + jnp.clip(col, 0, cap_q - 1), n * cap_q)
+        send = jnp.full((n * cap_q + 1, W), SENTINEL, dtype=jnp.uint32)
+        send = send.at[flat_idx].set(sq, mode="drop")
+        send = send[:-1].reshape(n, cap_q, W)
         recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
 
         # 3. answer membership locally
@@ -217,9 +224,8 @@ def sharded_adjacency_fn(mesh: Mesh, k: int, cap: int, slack: float = 2.5):
 
         # 4. inverse exchange + scatter to query order
         back = jax.lax.all_to_all(ans, AXIS, split_axis=0, concat_axis=0)
-        found_sorted = back[jnp.clip(row, 0, n - 1),
-                            jnp.clip(col, 0, cap_q - 1)] > 0
-        found_sorted = found_sorted & in_range
+        flat_back = back.reshape(-1)[jnp.clip(flat_idx, 0, n * cap_q - 1)]
+        found_sorted = (flat_back > 0) & in_range
         found_all = jnp.zeros((m,), bool).at[order].set(found_sorted)
 
         exists = found_all.reshape(2, 4, cap).transpose(2, 0, 1)
