@@ -279,6 +279,13 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
             if graph.contig_tag is not None:
                 graph.solve_simple_cross_structure_iterative(
                     0.25, "tag", rebuild=graph.make_graph)
+            # gapped variants (solveDBG.cpp extendConsensus:
+            # joinUnambiguousNodePairGappedIterative +
+            # solveSimpleGappedCrossStructure, pairedDBG.cpp:2517,1641)
+            while graph.join_unambiguous_node_pair_gapped():
+                graph.make_graph()
+            while graph.solve_simple_gapped_cross_structure(0.25, "link"):
+                graph.make_graph()
 
         # base-level erroneous division before scaffolding
         # (solveDBG.cpp:1332-1334)

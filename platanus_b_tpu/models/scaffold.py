@@ -857,6 +857,176 @@ class ScaffoldGraph:
                 rebuild()
         return total
 
+    def _unique_conflicting_edges(self, ni: int, direction: int):
+        """getUniqueConflictingNode (pairedDBG.cpp:943-968): exactly one
+        conflicting edge pair in `direction` with numLink >= minLink, else
+        None. Returns [(signed end id, gap), (signed end id, gap)]."""
+        nd = self.node[ni]
+        found = None
+        edges = [e for e in nd.edges
+                 if e.direction == direction and e.num_link >= self.min_link]
+        for a in range(len(edges) - 1):
+            for b in range(a + 1, len(edges)):
+                e1, e2 = edges[a], edges[b]
+                if self._check_delete_edge(e1, e2,
+                                           self.node[abs(e1.end) - 1],
+                                           self.node[abs(e2.end) - 1]):
+                    if found is not None:
+                        return None
+                    found = [(e1.end, e1.length), (e2.end, e2.length)]
+        return found
+
+    def _count_linked(self, ni: int, direction: int) -> int:
+        """getLinkedNode size: linked neighbors of node ni in direction."""
+        return sum(1 for e in self.node[ni].edges
+                   if e.direction == direction
+                   and e.num_link >= self.min_link)
+
+    def solve_simple_gapped_cross_structure(
+            self, link_rate_threshold: float = 0.25,
+            resolution: str = "link") -> int:
+        """solveSimpleGappedCrossStructure (pairedDBG.cpp:1641-1739):
+        resolve a high-coverage center whose PE-link edges form exactly one
+        conflicting pair on each side; the dominant haplotype pairing joins
+        external-gap-center-gap-external into two gapped scaffolds (center
+        duplicated; gaps retained, no overlap requirement)."""
+        from .phasing import HETERO_COVERAGE_THRESHOLD_FACTOR
+
+        # pairedDBG.cpp:1643: threshold on the FULL average coverage (the
+        # overlap-based solver uses the halved hetero estimate instead)
+        cov_threshold = (HETERO_COVERAGE_THRESHOLD_FACTOR
+                         * self.average_coverage)
+        node_tags = (self._node_tag_counts() if resolution == "tag"
+                     and self.contig_tag is not None else None)
+        consumed: set[int] = set()
+        merges = []
+        for ci, center in enumerate(self.node):
+            if center.state & SC_DEL or not center.contigs:
+                continue
+            if self.node_coverage(center) < cov_threshold:
+                continue
+            if center.state & (DBG_PRIMARY_BUBBLE | DBG_SECONDARY_BUBBLE):
+                continue
+            ext = []
+            for direction in (-1, 1):
+                pair = self._unique_conflicting_edges(ci, direction)
+                if pair is None:
+                    break
+                # externals must not branch on their far side
+                # (getLinkedNode >= 3 check, pairedDBG.cpp:1668-1672)
+                if any(self._count_linked(abs(eid) - 1,
+                                          1 if eid > 0 else -1) >= 3
+                       for eid, _g in pair):
+                    break
+                ext.append(pair)
+            if len(ext) != 2:
+                continue
+            ids = {abs(eid) for pair in ext for eid, _g in pair}
+            if len(ids) != 4 or (ci + 1) in ids:
+                continue
+            covs = [self.node_coverage(self.node[abs(eid) - 1])
+                    for pair in ext for eid, _g in pair]
+            if min(covs) > cov_threshold:
+                continue
+            if ci in consumed or any(abs(eid) - 1 in consumed
+                                     for pair in ext for eid, _g in pair):
+                continue
+            s = [0, 0]
+            for li in range(2):
+                for ri in range(2):
+                    if node_tags is not None:
+                        ev = self.get_common_tag(ext[0][li][0],
+                                                 ext[1][ri][0], node_tags)
+                    else:
+                        ev = self._num_link_between(ext[0][li][0],
+                                                    ext[1][ri][0])
+                    s[li == ri] += ev
+            if resolution in ("link", "tag") and max(s) < self.min_link:
+                continue
+            if link_rate_threshold * s[0] >= s[1]:
+                cross = 1
+            elif link_rate_threshold * s[1] >= s[0]:
+                cross = 0
+            else:
+                continue
+            for j in range(2):
+                # a direction=-1 edge's end sits LEFT of center with its
+                # stored sign as chain orientation; chain = L, center, R
+                l_id, l_gap = ext[0][j]
+                r_id, r_gap = ext[1][(j + cross) % 2]
+                merges.append((l_id, l_gap, ci + 1, r_gap, r_id))
+            consumed.add(ci)
+            consumed.update(abs(eid) - 1 for pair in ext for eid, _g in pair)
+
+        if not merges:
+            return 0
+        new_nodes = []
+        for ni, n in enumerate(self.node):
+            if ni not in consumed and not (n.state & SC_DEL) and n.contigs:
+                new_nodes.append(list(n.contigs))
+        for l_id, l_gap, c_id, r_gap, r_id in merges:
+            parts = []
+            pos = 0
+            for nid, gap in ((l_id, 0), (c_id, l_gap), (r_id, r_gap)):
+                pos += gap
+                op = self._oriented_parts(nid)
+                for cid, st, ed in op:
+                    parts.append((cid, pos + st, pos + ed))
+                pos += max(ed for _c, _s, ed in op)
+            new_nodes.append(parts)
+        self._remake(new_nodes)
+        LOG.counter("NUM_RESOLVED_GAPPED_CROSSES", len(merges) // 2)
+        return len(merges) // 2
+
+    def join_unambiguous_node_pair_gapped(self) -> int:
+        """joinUnambiguousNodePairGapped (pairedDBG.cpp:2517-2566): merge
+        node pairs connected by a single mutually-unambiguous PE-link edge
+        (one linked neighbor each way), keeping the estimated gap."""
+        nxt: dict[int, tuple[int, int]] = {}
+        for ni, nd in enumerate(self.node):
+            if nd.state & SC_DEL:
+                continue
+            rights = [e for e in nd.edges
+                      if e.direction == 1 and e.num_link >= self.min_link]
+            if len(rights) != 1:
+                continue
+            e = rights[0]
+            back_dir = -1 if e.end > 0 else 1
+            back = [b for b in self.node[abs(e.end) - 1].edges
+                    if b.direction == back_dir
+                    and b.num_link >= self.min_link]
+            if len(back) == 1 and abs(back[0].end) == ni + 1:
+                nxt[ni + 1] = (e.end, max(e.length, 1))
+        # disjoint pair merges only (the reference joins pairs per pass
+        # and its *Iterative driver re-runs after a graph rebuild)
+        used = np.zeros(len(self.node), dtype=bool)
+        chains = []
+        for a, (b, g) in nxt.items():
+            if used[a - 1] or used[abs(b) - 1] or abs(b) == a:
+                continue
+            used[a - 1] = True
+            used[abs(b) - 1] = True
+            chains.append([(a, 0), (b, g)])
+        if not chains:
+            return 0
+        new_nodes = []
+        for ni, n in enumerate(self.node):
+            if not used[ni] and not (n.state & SC_DEL) and n.contigs:
+                new_nodes.append(list(n.contigs))
+        for chain in chains:
+            parts = []
+            pos = 0
+            for nid, gap in chain:
+                pos += gap
+                op = self._oriented_parts(nid)
+                for cid, st, ed in op:
+                    parts.append((cid, pos + st, pos + ed))
+                pos += max(ed for _c, _s, ed in op)
+            new_nodes.append(parts)
+        self._remake(new_nodes)
+        LOG.counter("NUM_JOINED_GAPPED_PAIRS", len(chains))
+        return len(chains)
+
     def delete_repeat_edge(self) -> None:
         """deleteRepeatEdge (scaffoldGraph.cpp:1148-1190): when two
         conflicting edges both hit the same member contig, zero that
