@@ -232,29 +232,31 @@ class Unitigs:
 # sequence materialization kernel
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("k", "lmax"))
-def _sequence_kernel(keys, uid, upos, uorient, k: int, lmax: int):
+@functools.partial(jax.jit, static_argnames=("k", "lmax", "rows"))
+def _sequence_kernel(keys, uid, upos, uorient, k: int, lmax: int,
+                     rows: int):
+    """Materialize unitig sequences into a (rows, lmax) buffer.
+
+    rows = padded UNITIG count (not node capacity — a clean assembly has
+    few long unitigs, so (cap, lmax) would explode). Last bases scatter
+    per node; the k-1 head bases come from a per-unitig GATHER of the
+    head node (a (N, k-1, 2) scatter-index tensor tiles to T(8,128) on
+    TPU with ~64x padding — 16 GB at 1M nodes)."""
     cap = keys.shape[0]
     oriented = jnp.where(uorient[:, None] == 0, keys, revcomp(keys, k))
     last_base = (oriented[:, -1] & 3).astype(jnp.uint8)
-    member = uid >= 0
-    seg_u = jnp.where(member, uid, cap)
+    member = (uid >= 0) & (uid < rows)
+    seg_u = jnp.where(member, uid, rows)
     col = jnp.clip(upos + k - 1, 0, lmax - 1)
-    # 1-D scatters into the flattened (cap*lmax) buffer: 2-D scatter index
-    # tensors of shape (N, small, 2) tile to T(8,128) on TPU with a ~64x
-    # padding blowup (16 GB at 1M nodes); flat indices stay compact
-    flat = jnp.full((cap * lmax + 1,), 4, dtype=jnp.uint8)
-    idx1 = jnp.where(member, seg_u * lmax + col, cap * lmax)
-    flat = flat.at[idx1].set(last_base, mode="drop")
-    # head nodes contribute their full first k-1 bases
-    head_codes = kmer_to_codes(oriented, k)  # (N, k)
-    head_rows = jnp.where(member & (upos == 0), uid, cap)
-    idx2 = jnp.where((head_rows < cap)[:, None],
-                     head_rows[:, None] * lmax
-                     + jnp.arange(k - 1)[None, :], cap * lmax)
-    flat = flat.at[idx2.reshape(-1)].set(
-        head_codes[:, : k - 1].reshape(-1), mode="drop")
-    return flat[: cap * lmax].reshape(cap, lmax)
+    seqs = jnp.full((rows + 1, lmax), 4, dtype=jnp.uint8)
+    seqs = seqs.at[seg_u, col].set(last_base, mode="drop")
+    # head node index per unitig, then gather its first k-1 bases
+    head_slot = jnp.where(member & (upos == 0), uid, rows)
+    hn = jnp.zeros((rows + 1,), jnp.int32).at[head_slot].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    head_codes = kmer_to_codes(oriented[hn], k)      # (rows+1, k)
+    seqs = seqs.at[:, : k - 1].set(head_codes[:, : k - 1])
+    return seqs[:rows]
 
 
 class DBG:
@@ -333,9 +335,10 @@ class DBG:
             return np.zeros((0, 0), np.uint8), np.zeros((0,), np.int64)
         base_lens = u.ulen.astype(np.int64) + k - 1
         lmax = next_pow2(int(base_lens.max()), minimum=64)
+        rows = next_pow2(num_u, minimum=8)
         seqs = _sequence_kernel(self.keys, jnp.asarray(u.uid),
                                 jnp.asarray(u.upos), jnp.asarray(u.uorient),
-                                k, lmax)
+                                k, lmax, rows)
         seqs = np.array(seqs[:num_u])
         mask = np.arange(lmax)[None, :] >= base_lens[:, None]
         seqs[mask] = 4
