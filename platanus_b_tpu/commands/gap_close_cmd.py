@@ -150,6 +150,23 @@ def close_gaps(scaffolds, libs, seed_lengths=(32,), min_overlap_olc=32,
         # reads stay pooled on gaps for the next library pass, as in the
         # reference's leftover-read accumulation
 
+    # all-library pooled final pass (gapClose.cpp:265-269: numLibrary > 1
+    # -> one more gapCloseUsingPairReads over the pooled unused reads,
+    # DBG-only with olcThreshold=0)
+    if len(libs) > 1:
+        LOG.info("[ALL LIBRARY]")
+        n_final = 0
+        for g in gaps:
+            if g.state == gc.CLOSED or not g.reads:
+                continue
+            if len(scaffolds[g.scaffold_id - 1]) in (g.end, 0)                     or g.start == 0:
+                continue
+            if gc.dbg_close_gap(g, min_overlap=min_overlap_dbg,
+                                max_miss_rate=max_miss_dbg,
+                                allow_partial=not no_partial):
+                n_final += 1
+        LOG.counter("NUM_CLOSED_GAPS_ALL_LIBRARY", n_final)
+
     return gc.generate_gap_closed_seqs(scaffolds, gaps), gaps
 
 
