@@ -67,23 +67,41 @@ def count_reads_device(batches: list[ReadBatch], k: int):
     stays on device because its consumers — occurrence filtering and DBG
     construction — run there; only the tiny histogram crosses to host.
     """
+    from collections import deque
+
     from ..ops.padding import next_pow2
     acc_keys = acc_counts = None
     acc_n = 0
-    for b in batches:
-        if b.num_reads == 0:
-            continue
-        keys, counts, n = cnt.count_batch(_pad_codes(b.codes), k)
+    # bounded dispatch queue: batch i+1..i+Q count on device while batch
+    # i's unique count syncs to host for the capacity slice — overlaps
+    # host padding/transfer with device sorting (the reference overlaps
+    # via per-thread files, counter.h:322-325)
+    QUEUE = 3
+    pending: deque = deque()
+
+    def fold(item):
+        nonlocal acc_keys, acc_counts, acc_n
+        keys, counts, n = item
         n = int(n)
         cap = min(next_pow2(n), keys.shape[0])
         keys, counts = keys[:cap], counts[:cap]
         if acc_keys is None:
             acc_keys, acc_counts, acc_n = keys, counts, n
         else:
-            mk, mc, mn = cnt.merge_counts(acc_keys, acc_counts, keys, counts)
+            mk, mc, mn = cnt.merge_counts(acc_keys, acc_counts, keys,
+                                          counts)
             acc_n = int(mn)
             cap = min(next_pow2(acc_n), mk.shape[0])
             acc_keys, acc_counts = mk[:cap], mc[:cap]
+
+    for b in batches:
+        if b.num_reads == 0:
+            continue
+        pending.append(cnt.count_batch(_pad_codes(b.codes), k))
+        if len(pending) >= QUEUE:
+            fold(pending.popleft())
+    while pending:
+        fold(pending.popleft())
     if acc_keys is None:
         acc_keys = jnp.zeros((0, num_words(k)), jnp.uint32)
         acc_counts = jnp.zeros((0,), jnp.uint32)

@@ -56,15 +56,19 @@ def _compact_ends(sorted_keys: jnp.ndarray, is_end: jnp.ndarray,
                   payload: jnp.ndarray):
     """Move run-end rows (with payload) to the front, preserving order.
 
-    TPU-shaped compaction: a stable single-key sort on the is_end flag
-    replaces a random scatter (scatters serialize on TPU; sorts are fast).
+    TPU-shaped compaction WITHOUT a second sort: the i-th output row is
+    the position of the (i+1)-th end flag, found by a vectorized binary
+    search over the end-flag cumsum — ~log2(N) gather passes instead of a
+    ~log2^2(N)-pass stable sort (the former compaction). Rows past the
+    unique count read garbage; every caller masks them via in_range.
     """
-    W = sorted_keys.shape[-1]
-    rank = jnp.where(is_end, jnp.uint8(0), jnp.uint8(1))
-    ops = (rank,) + tuple(sorted_keys[:, w] for w in range(W)) + (payload,)
-    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
-    ckeys = jnp.stack(out[1:1 + W], axis=-1)
-    return ckeys, out[1 + W]
+    n = sorted_keys.shape[0]
+    ends_cum = jnp.cumsum(is_end.astype(jnp.int32))
+    tgt = jnp.searchsorted(ends_cum,
+                           jnp.arange(1, n + 1, dtype=jnp.int32),
+                           side="left")
+    tgt = jnp.clip(tgt, 0, n - 1)
+    return sorted_keys[tgt], payload[tgt]
 
 
 def dedup_sum(sorted_keys: jnp.ndarray, sorted_counts: jnp.ndarray):
@@ -126,8 +130,12 @@ def count_batch(codes: jnp.ndarray, k: int):
     keys, valid = extract_canonical_kmers(codes, k)
     W = keys.shape[-1]
     flat = keys.reshape(-1, W)
-    ones = valid.reshape(-1).astype(jnp.uint32)
-    skeys, scounts = sort_by_key(flat, ones)
+    # keys-only sort (payload-free: one less sort operand); validity is
+    # recovered after the sort since invalid rows are SENTINEL and sort
+    # last
+    (skeys,) = sort_by_key(flat)
+    scounts = (~mw_eq(skeys, jnp.full_like(skeys, SENTINEL))
+               ).astype(jnp.uint32)
     return dedup_sum(skeys, scounts)
 
 
@@ -159,14 +167,16 @@ def filter_by_count(keys: jnp.ndarray, counts: jnp.ndarray,
     m = keys.shape[0]
     keep = (jnp.arange(m, dtype=jnp.int32) < n) & (counts >= cutoff)
     n_keep = jnp.sum(keep.astype(jnp.int32))
-    rank = jnp.where(keep, jnp.uint8(0), jnp.uint8(1))
-    W = keys.shape[-1]
-    ops = (rank,) + tuple(keys[:, w] for w in range(W)) + (counts,)
-    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    # order-preserving compaction by binary search over the keep cumsum
+    # (same trick as _compact_ends; replaces a stable flag sort)
+    keep_cum = jnp.cumsum(keep.astype(jnp.int32))
+    tgt = jnp.clip(jnp.searchsorted(keep_cum,
+                                    jnp.arange(1, m + 1, dtype=jnp.int32),
+                                    side="left"), 0, m - 1)
     in_range = jnp.arange(m, dtype=jnp.int32) < n_keep
-    fkeys = jnp.where(in_range[:, None], jnp.stack(out[1:1 + W], axis=-1),
+    fkeys = jnp.where(in_range[:, None], keys[tgt],
                       jnp.uint32(SENTINEL))
-    fcounts = jnp.where(in_range, out[1 + W], 0)
+    fcounts = jnp.where(in_range, counts[tgt], 0)
     return fkeys, fcounts, n_keep
 
 
