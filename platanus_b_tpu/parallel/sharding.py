@@ -248,3 +248,56 @@ def sharded_adjacency_fn(mesh: Mesh, k: int, cap: int, slack: float = 2.5):
         out_specs=(P(AXIS), P(AXIS), P(), P()),
         check_vma=False)
     return jax.jit(mapped)
+
+
+# ---------------------------------------------------------------------------
+# data-parallel read mapping (SURVEY §2.10 row 5: per-shard mapping with
+# gathered/reduced link statistics)
+# ---------------------------------------------------------------------------
+
+def sharded_map_fn(mesh: Mesh, index, key_len: int, word_len: int,
+                   reads_per_shard: int, read_len: int,
+                   max_candidates: int = 16):
+    """Build a jitted data-parallel mapping step: reads shard over the
+    mesh rows, the contig index replicates (contigs are tiny next to the
+    read set), and each device runs the seed-vote map kernel on its
+    slice. Returns per-read (id, offset) sharded over the mesh plus a
+    psum'd per-contig mapped-read histogram (the link-statistic
+    reduction)."""
+    from ..models.mapper import _map_votes
+
+    kt, kp, pool, starts, clens, tl = index.device_arrays()
+    n = mesh.devices.size
+    S = max(-(-read_len // word_len) + 1, 1)
+    C = index.num_contigs
+
+    def step(codes, lengths):
+        # codes: (reads_per_shard, read_len) local block
+        R = codes.shape[0]
+        vote_id, vote_off, seed_valid, _cands = _map_votes(
+            kt, kp, pool, starts, clens, tl, codes, lengths,
+            key_len, word_len, S, max_candidates)
+        eq = ((vote_id[:, :, None] == vote_id[:, None, :])
+              & (vote_off[:, :, None] == vote_off[:, None, :])
+              & seed_valid[:, None, :])
+        c = jnp.sum(eq.astype(jnp.int32), axis=-1) * seed_valid
+        m1 = jnp.max(c, axis=-1)
+        n_top = jnp.sum((c == m1[:, None]) & seed_valid, axis=-1)
+        mapped = (m1 > 0) & (n_top == m1)
+        best = jnp.argmax(c, axis=-1)
+        bid = jnp.take_along_axis(vote_id, best[:, None], 1)[:, 0]
+        boff = jnp.take_along_axis(vote_off, best[:, None], 1)[:, 0]
+        ids = jnp.where(mapped, bid, 0).astype(jnp.int32)
+        offs = jnp.where(mapped, boff, 0).astype(jnp.int32)
+        # per-contig mapped-read histogram, all-reduced over the mesh
+        ci = jnp.where(ids != 0, jnp.abs(ids) - 1, C)
+        hist_local = jnp.zeros((C + 1,), jnp.int32).at[ci].add(1)
+        hist = jax.lax.psum(hist_local[:C], AXIS)
+        return ids, offs, hist
+
+    mapped_fn = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P()),
+        check_vma=False)
+    return jax.jit(mapped_fn)

@@ -94,3 +94,33 @@ def test_sharded_adjacency_matches_single_device(rng):
             checked += 1
     assert checked == len(allk)
     assert int(n_junc) == int(junc1.sum())
+
+
+def test_sharded_mapping_matches_single_device(rng):
+    """Data-parallel mapping over the mesh == single-device map_reads,
+    with a psum'd per-contig histogram (SURVEY §2.10 row 5)."""
+    from platanus_b_tpu.io.fasta import seq_to_codes
+    from platanus_b_tpu.models.mapper import ContigIndex, map_reads
+    from platanus_b_tpu.parallel.sharding import sharded_map_fn
+
+    genome = simdata.random_genome(rng, 4000)
+    contigs = [seq_to_codes(genome[:2000]), seq_to_codes(genome[2000:])]
+    index = ContigIndex(contigs, key_length=32)
+    reads = simdata.shotgun_reads(rng, genome, 80, 8.0, error_rate=0.0)
+    mesh = make_mesh()
+    n = mesh.devices.size
+    r = len(reads) - len(reads) % n
+    codes = np.full((r, 80), 4, np.uint8)
+    lens = np.zeros(r, np.int32)
+    for i in range(r):
+        s = seq_to_codes(reads[i])
+        codes[i, : len(s)] = s
+        lens[i] = len(s)
+
+    fn = sharded_map_fn(mesh, index, 32, 32, r // n, 80)
+    ids_s, offs_s, hist = fn(jnp.asarray(codes), jnp.asarray(lens))
+    ids_1, offs_1 = map_reads(index, codes, lens, (32,))
+    np.testing.assert_array_equal(np.asarray(ids_s).reshape(-1), ids_1)
+    np.testing.assert_array_equal(np.asarray(offs_s).reshape(-1), offs_1)
+    exp_hist = np.bincount(np.abs(ids_1[ids_1 != 0]) - 1, minlength=2)
+    np.testing.assert_array_equal(np.asarray(hist), exp_hist)
