@@ -352,19 +352,61 @@ def crush_bubble_iterative(dbg: DBG, average_coverage: float,
     return total
 
 
-def average_coverage_excluding_bubble(dbg: DBG) -> float:
-    """getAverageCoverageExcludingBubble (graph.h:2375-2431): mean unitig
-    coverage weighted by length, excluding likely-bubble unitigs (those
-    attached to junctions on both sides with a parallel sibling).
+def _bubble_unitig_mask(dbg: DBG, u) -> np.ndarray:
+    """Unitigs that form a parallel pair between one source junction and
+    one sink junction (searchBubbleStructure grouping,
+    graph.h:2386-2406): group unitigs by their (predecessor junction,
+    successor junction) node pair; any group of >= 2 is a bubble set."""
+    succ_idx, succ_orient, out, outdeg, is_junction = [
+        np.asarray(x) for x in dbg.topo]
+    num_u = u.num_unitigs
+    mask = np.zeros(num_u, dtype=bool)
+    if num_u == 0:
+        return mask
 
-    Simplified: length-weighted mean over unitigs of length > k (the
-    reference excludes detected bubble structures; short attached unitigs
-    dominate that set)."""
+    def single_junction_neighbor(oriented):
+        i = oriented // 2
+        o = oriented % 2
+        if outdeg[i, o] != 1:
+            return -1
+        b = int(np.argmax(succ_idx[i, o] >= 0))
+        s = int(succ_idx[i, o, b])
+        return s if s >= 0 and is_junction[s] else -1
+
+    pair_groups: dict[tuple[int, int], list[int]] = {}
+    for r in range(num_u):
+        # predecessors of the head = successors of its reverse orientation
+        src = single_junction_neighbor(int(u.uhead[r]) ^ 1)
+        snk = single_junction_neighbor(int(u.utail[r]))
+        if src < 0 or snk < 0:
+            continue
+        pair_groups.setdefault((src, snk), []).append(r)
+        # canonical both directions (a bubble reads the same reversed)
+        pair_groups.setdefault((snk, src), []).append(r)
+    for (a, b), members in pair_groups.items():
+        uniq = set(members)
+        if len(uniq) >= 2:
+            for r in uniq:
+                mask[r] = True
+    return mask
+
+
+def average_coverage_excluding_bubble(dbg: DBG) -> float:
+    """getAverageCoverageExcludingBubble (graph.h:2375-2431):
+    length-weighted mean coverage over non-bubble unitigs plus junction
+    coverages (weight 1 each); bubble unitigs — parallel pairs between a
+    shared source and sink junction — are excluded."""
     u = dbg.label_unitigs()
     if u.num_unitigs == 0:
         return 0.0
-    w = u.ulen.astype(np.float64)
-    mask = u.ulen > dbg.k
-    if not mask.any():
-        mask = np.ones_like(mask)
-    return float((u.ucov[mask] * w[mask]).sum() / w[mask].sum())
+    bubble = _bubble_unitig_mask(dbg, u)
+    keep = ~bubble
+    if not keep.any():
+        keep = np.ones_like(keep)
+    w = u.ulen[keep].astype(np.float64)
+    s = float((u.ucov[keep] * w).sum())
+    num = float(w.sum())
+    _ji, jc = dbg.junction_info()
+    s += float(np.asarray(jc, dtype=np.float64).sum())
+    num += float(len(jc))
+    return s / max(num, 1.0)

@@ -201,3 +201,34 @@ def test_divide_straight_node(rng):
     assert dbg.num_alive() < before
     u1 = dbg.label_unitigs()
     assert u1.num_unitigs == 2   # cut at the uncovered middle
+
+
+def test_average_coverage_excludes_bubbles(rng):
+    """getAverageCoverageExcludingBubble (graph.h:2375-2431): a SNP
+    bubble's branch unitigs do not skew the average."""
+    import simdata
+    from platanus_b_tpu.io.fasta import seq_to_codes
+    from platanus_b_tpu.io.reads import ReadBatch
+    from platanus_b_tpu.models.assemble_core import count_reads
+    from platanus_b_tpu.models.clean import (_bubble_unitig_mask,
+                                             average_coverage_excluding_bubble)
+    from platanus_b_tpu.models.dbg import DBG
+
+    k = 21
+    genome = simdata.random_genome(rng, 800)
+    variant = genome[:400] + ("A" if genome[400] != "A" else "C") \
+        + genome[401:]
+
+    def batch(s, copies):
+        codes = seq_to_codes(s)
+        mat = np.tile(codes, (copies, 1))
+        return ReadBatch(mat, np.full(copies, len(codes), np.int32))
+
+    # 10 copies of hap1, 10 of hap2 -> shared arms at 20x, branches at 10x
+    table, _ = count_reads([batch(genome, 10), batch(variant, 10)], k)
+    dbg = DBG(k, table.keys, table.counts)
+    u = dbg.label_unitigs()
+    bubble = _bubble_unitig_mask(dbg, u)
+    assert bubble.sum() == 2    # the two SNP branches
+    avg = average_coverage_excluding_bubble(dbg)
+    assert avg > 15             # near 20x, not dragged toward 10x
