@@ -12,7 +12,6 @@ multi-track machinery.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 

@@ -5,7 +5,6 @@ CLI surface mirrors the reference (polish.cpp:37-80).
 
 from __future__ import annotations
 
-import argparse
 import os
 
 import numpy as np

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.kmer import SENTINEL, kmer_to_codes
-from ..ops.multiword import mw_le, mw_shl2, num_words, revcomp
+from ..ops.multiword import mw_le, mw_shl2, revcomp
 from ..ops.padding import next_pow2, pad_rows
 from ..ops.search import _lookup_jit
 

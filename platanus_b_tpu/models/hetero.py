@@ -43,7 +43,7 @@ import numpy as np
 from ..utils.log import LOG
 from .scaffold import (DBG_HETERO, DBG_SECONDARY_BUBBLE,
                        HETERO_COVERAGE_THRESHOLD_FACTOR, SC_DEL, SC_INC,
-                       SC_REP, GraphNode, ScaffoldGraph)
+                       SC_REP, ScaffoldGraph)
 
 # scaffoldGraph.cpp:45-47
 MAX_HOMO_RATE = 1.5

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kmer import SENTINEL, extract_canonical_kmers
-from .multiword import U32, mw_eq
+from .multiword import mw_eq
 
 # occurrence values saturate one below the u16 deleted-marker, as in
 # countKmerOrWriteTemporary (counter.h:459-476: UINT16_MAX-1 cap)

@@ -11,9 +11,6 @@ All helpers are shape-polymorphic over leading axes and jit-safe.
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

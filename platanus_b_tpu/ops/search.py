@@ -13,7 +13,6 @@ compiled kernel serves every table of the same capacity bucket.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

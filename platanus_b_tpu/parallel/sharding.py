@@ -19,8 +19,6 @@ Everything is deterministic: sort + segment-sum per shard, no locks.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
