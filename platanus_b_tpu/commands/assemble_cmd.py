@@ -58,6 +58,7 @@ def run(args) -> int:
         manual_cutoff=args.n, log_p_split=args.a, bubble_threshold=args.u,
         branch_threshold=args.d, fixed_average_coverage=args.e,
         repeat_mode=args.repeat, kmer_occ_only=args.kmer_occ_only,
+        memory_gb=float(args.m),
         divide_straight=args.divide_straight)
 
     batches = list(load_read_batches(args.f))

@@ -512,6 +512,7 @@ class AssembleOptions:
     fixed_average_coverage: float = 0.0  # -e (0 = auto)
     repeat_mode: bool = False    # -repeat
     kmer_occ_only: bool = False  # -kmer_occ_only
+    memory_gb: float = 0.0       # -m device memory budget (0 = unlimited)
     divide_straight: bool = False  # divideStraightNode pass (disabled in
                                    # the reference: assemble.cpp:396,528)
 
@@ -541,8 +542,27 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
 
     # ---- initial k counting (initialKmerAssemble, assemble.cpp:303-386)
     k0 = opts.k
+    # -m memory budget: when the sort working set exceeds the budget, use
+    # prefix-partitioned multi-pass counting (the out-of-core equivalent
+    # of counter.h:341-364 spill passes)
+    W0 = num_words(k0)
+    windows = sum(b.num_reads * max(b.codes.shape[1] - k0 + 1, 0)
+                  for b in batches)
+    need_gb = windows * (4 * W0 + 4) * 3 / (1 << 30)
+    n_parts = 1
+    while opts.memory_gb and need_gb / n_parts > opts.memory_gb and             n_parts < 64:
+        n_parts *= 2
     with LOG.stage(f"K = {k0}, saving kmers from reads"):
-        dev_keys, dev_counts, dev_n, hist = count_reads_device(batches, k0)
+        if n_parts > 1:
+            LOG.counter("NUM_COUNT_PARTITIONS", n_parts)
+            pk, pc = cnt.count_reads_partitioned(batches, k0, n_parts)
+            dev_keys = jnp.asarray(pk)
+            dev_counts = jnp.asarray(pc)
+            dev_n = len(pk)
+            hist = np.asarray(cnt.occurrence_histogram(dev_counts))
+        else:
+            dev_keys, dev_counts, dev_n, hist = count_reads_device(
+                batches, k0)
     hist0 = hist
 
     cutoff0 = cnt.coverage_cutoff(hist, manual=opts.manual_cutoff,

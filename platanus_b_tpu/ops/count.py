@@ -409,3 +409,75 @@ def num_words_for_k(k: int) -> int:
 
 # common.cpp:34
 DOUBLE_HASH_MAX_LOAD_FACTOR = 0.9
+
+
+U32_DT = jnp.uint32
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_parts", "part"))
+def count_batch_partition(codes: jnp.ndarray, k: int, part: int,
+                          n_parts: int):
+    """count_batch restricted to one key-space partition.
+
+    Partitioning is by the TOP BITS of the canonical key's first word, so
+    every partition is a contiguous sorted key range and the per-pass
+    tables concatenate (in pass order) into the fully sorted global table
+    — the TPU replacement for the reference's out-of-core spill/re-count
+    passes under the -m memory budget (counter.h:341-364).
+    """
+    keys, valid = extract_canonical_kmers(codes, k)
+    W = keys.shape[-1]
+    flat = keys.reshape(-1, W)
+    # top bits of word 0 (accounting for k < 32: only 2k bits are used)
+    used_bits = min(2 * k, 32)
+    shift = np.uint32(32 - used_bits)
+    bits = max(n_parts.bit_length() - 1, 0)
+    top = (flat[:, 0] << shift) >> np.uint32(32 - bits) if bits else \
+        jnp.zeros(flat.shape[0], U32_DT)
+    in_part = top == np.uint32(part)
+    flat = jnp.where(in_part[:, None], flat,
+                     jnp.full_like(flat, SENTINEL))
+    (skeys,) = sort_by_key(flat)
+    scounts = (~mw_eq(skeys, jnp.full_like(skeys, SENTINEL))
+               ).astype(jnp.uint32)
+    return dedup_sum(skeys, scounts)
+
+
+def count_reads_partitioned(batches, k: int, n_parts: int):
+    """Multi-pass partitioned counting: pass p counts only partition p of
+    canonical key space (each pass's device working set is ~1/n_parts of
+    the total), and the host concatenates the disjoint sorted slices.
+    n_parts must be a power of two. Returns (keys, counts) host arrays."""
+    assert n_parts & (n_parts - 1) == 0, "n_parts must be a power of two"
+    from ..ops.padding import next_pow2
+    parts_k, parts_c = [], []
+    for p in range(n_parts):
+        acc_keys = acc_counts = None
+        acc_n = 0
+        for b in batches:
+            if b.num_reads == 0:
+                continue
+            from ..models.assemble_core import _pad_codes
+            keys, counts, n = count_batch_partition(_pad_codes(b.codes), k,
+                                                    p, n_parts)
+            n = int(n)
+            cap = min(next_pow2(max(n, 1)), keys.shape[0])
+            keys, counts = keys[:cap], counts[:cap]
+            if acc_keys is None:
+                acc_keys, acc_counts, acc_n = keys, counts, n
+            else:
+                mk, mc, mn = merge_counts(acc_keys, acc_counts, keys,
+                                          counts)
+                acc_n = int(mn)
+                cap = min(next_pow2(max(acc_n, 1)), mk.shape[0])
+                acc_keys, acc_counts = mk[:cap], mc[:cap]
+        if acc_keys is not None and acc_n:
+            parts_k.append(np.asarray(acc_keys[:acc_n]))
+            parts_c.append(np.asarray(
+                jnp.minimum(acc_counts[:acc_n],
+                            MAX_OCCURRENCE)).astype(np.uint32))
+    if not parts_k:
+        from .multiword import num_words
+        return (np.zeros((0, num_words(k)), np.uint32),
+                np.zeros((0,), np.uint32))
+    return np.concatenate(parts_k, axis=0), np.concatenate(parts_c, axis=0)

@@ -145,3 +145,20 @@ def test_occ_table_binary_roundtrip(tmp_path, rng):
     assert k2 == k
     np.testing.assert_array_equal(keys2, keys)
     np.testing.assert_array_equal(counts2, counts)
+
+
+def test_partitioned_counting_matches_plain(rng):
+    """Prefix-partitioned multi-pass counting (the -m out-of-core
+    equivalent, counter.h:341-364) equals single-pass counting."""
+    import simdata
+    from platanus_b_tpu.io.reads import pack_reads
+    from platanus_b_tpu.models.assemble_core import count_reads
+    from platanus_b_tpu.ops.count import count_reads_partitioned
+
+    genome = simdata.random_genome(rng, 3000)
+    batch = pack_reads(simdata.shotgun_reads(rng, genome, 80, 10.0))
+    for k in (21, 48):
+        table, _ = count_reads([batch], k)
+        pk, pc = count_reads_partitioned([batch], k, 4)
+        np.testing.assert_array_equal(pk, table.keys)
+        np.testing.assert_array_equal(pc, table.counts)
