@@ -222,3 +222,48 @@ def test_solve_dbg_phasing_tracked_pairs(rng, tmp_path):
     got = {len(s) for _n, s in prim + sec}
     assert got == {len(hap1)}
     assert os.path.exists(out + "_bubbleRelation.tsv")
+
+
+def test_crush_bubble_layout_alignment(rng):
+    """ScaffoldGraph::crushBubble (scaffoldGraph.cpp:1888-2013): two
+    near-identical branch layouts between shared neighbors crush to the
+    higher-coverage one, recording the crushed sequence."""
+    g = _bubble_graph(rng, cov1=20.0, cov2=18.0)
+    g.bubble_threshold = 0.1
+    g.hetero_coverage = 0.0   # ScaffoldGraph (non-PairedDBG) variant
+    g.node[0].edges = [GraphEdge(1, 2, -32, 5), GraphEdge(1, 3, -32, 5)]
+    g.node[1].edges = [GraphEdge(-1, -1, -32, 5), GraphEdge(1, 4, -32, 5)]
+    g.node[2].edges = [GraphEdge(-1, -1, -32, 5), GraphEdge(1, 4, -32, 5)]
+    g.node[3].edges = [GraphEdge(-1, -2, -32, 5), GraphEdge(-1, -3, -32, 5)]
+    n = hetero.crush_bubble(g, 0.1, average_coverage=29.0)
+    assert n == 1
+    assert len(g.crushed_bubbles) == 1
+    crushed_seq, cov = g.crushed_bubbles[0]
+    assert cov == 18.0            # lower-coverage branch was absorbed
+    assert g.contig_pos_id[2] == 0
+    # survivor branch (contig 2) remains placed
+    assert g.contig_pos_id[1] != 0
+
+
+def test_remove_hetero_overlap(rng):
+    """removeHeteroOverlap (scaffoldGraph.cpp:2427-2510): a short
+    hetero-coverage branch contained in a longer one is deleted and the
+    node table is rebuilt without it."""
+    a = seq_to_codes(simdata.random_genome(rng, 500))
+    big = seq_to_codes(simdata.random_genome(rng, 900))
+    small = big[:400].copy()
+    small[200] = (small[200] + 1) % 4
+    g = ScaffoldGraph([a, big, small], np.array([40.0, 40.0, 15.0]))
+    g.bubble_threshold = 0.1
+    g.tolerence = 50
+    g.average_coverage = 40.0
+    # A links to both; the small branch also overlaps (is contained in)
+    # the big one: edge big->small with large negative gap
+    g.node[0].edges = [GraphEdge(1, 2, 10, 5), GraphEdge(1, 3, 10, 5)]
+    g.node[1].edges = [GraphEdge(-1, -1, 10, 5),
+                       GraphEdge(1, 3, -400, 4)]
+    g.node[2].edges = [GraphEdge(-1, -1, 10, 5),
+                       GraphEdge(-1, 2, -400, 4)]
+    hetero.remove_hetero_overlap(g)
+    assert len(g.node) == 2
+    assert g.contig_pos_id[2] == 0
