@@ -61,7 +61,13 @@ def run(args) -> int:
         memory_gb=float(args.m),
         divide_straight=args.divide_straight)
 
-    batches = list(load_read_batches(args.f))
+    from ..parallel import multihost as mh
+    files = args.f
+    if mh.process_count() > 1:
+        # DCN ingest sharding: this host reads only its file slice; the
+        # counting stage merges per-host tables globally (multihost.py)
+        files = mh.host_shard(args.f)
+    batches = list(load_read_batches(files))
     result = assemble(batches, opts)
 
     # k-mer frequency distribution TSV (assemble.cpp:337-340)

@@ -118,6 +118,12 @@ def count_reads(batches: list[ReadBatch], k: int) -> tuple[KmerTable, np.ndarray
     keys_h = np.asarray(acc_keys[:acc_n])
     counts_h = np.asarray(jnp.minimum(acc_counts[:acc_n],
                                       cnt.MAX_OCCURRENCE)).astype(np.uint32)
+    from ..parallel import multihost as mh
+    if mh.process_count() > 1:
+        # each host counted its own read slice (DCN ingest sharding);
+        # merge to the identical global table + histogram everywhere
+        keys_h, counts_h = mh.global_count_merge(keys_h, counts_h)
+        hist = np.asarray(cnt.occurrence_histogram(jnp.asarray(counts_h)))
     return KmerTable(k, keys_h, counts_h), hist
 
 
