@@ -61,12 +61,18 @@ def run(args) -> int:
         memory_gb=float(args.m),
         divide_straight=args.divide_straight)
 
+    from ..io.fasta import is_compressed
     from ..parallel import multihost as mh
     files = args.f
     if mh.process_count() > 1:
-        # DCN ingest sharding: this host reads only its file slice; the
-        # counting stage merges per-host tables globally (multihost.py)
-        files = mh.host_shard(args.f)
+        # DCN ingest sharding: this host reads only its slice — whole
+        # small/compressed files round-robin, large plain files split by
+        # byte range at record boundaries; the counting stage merges
+        # per-host tables globally (multihost.py)
+        splittable = [p for p in args.f if not is_compressed(p)]
+        whole = [p for p in args.f if is_compressed(p)]
+        files = (mh.host_read_plan(splittable) + [
+            (p, 0, -1) for p in mh.host_shard(whole)])
     batches = list(load_read_batches(files))
     result = assemble(batches, opts)
 

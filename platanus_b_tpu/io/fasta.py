@@ -17,6 +17,7 @@ import bz2
 import gzip
 import io
 import lzma
+import os
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -111,14 +112,130 @@ def iter_reads(path: str) -> Iterator[tuple[str, str]]:
         yield from iter_fastq(path)
 
 
-def load_codes(path: str) -> tuple[np.ndarray, np.ndarray]:
+def is_compressed(path: str) -> bool:
+    with open(path, "rb") as f:
+        magic = f.read(6)
+    return (magic[:2] == b"\x1f\x8b" or magic[:3] == b"BZh"
+            or magic[:6] == b"\xfd7zXZ\x00")
+
+
+def _record_start_after(data: bytes, pos: int, fmt: str) -> int:
+    """Offset of the first record start at offset >= pos (len(data) if none).
+
+    A record starts at offset 0 or right after a newline, with '>' (FASTA)
+    or '@' (FASTQ). FASTQ '@' is ambiguous (quality lines may start with
+    it), so a candidate is validated by the '+' separator two lines on.
+    """
+    marker = b">" if fmt == "fasta" else b"@"
+    if pos <= 0:
+        if data[:1] == marker and (fmt == "fasta" or _fastq_start_ok(data, 0)):
+            return 0
+        pos = 1
+    i = pos - 1
+    while True:
+        j = data.find(b"\n" + marker, i)
+        if j == -1:
+            return len(data)
+        cand = j + 1
+        if fmt == "fasta" or _fastq_start_ok(data, cand):
+            return cand
+        i = cand
+
+
+def _fastq_start_ok(data: bytes, cand: int) -> bool:
+    e1 = data.find(b"\n", cand)
+    if e1 == -1:
+        return False
+    e2 = data.find(b"\n", e1 + 1)
+    return e2 != -1 and data[e2 + 1: e2 + 2] == b"+"
+
+
+def _read_range_bytes(path: str, fmt: str, byte_start: int,
+                      byte_end: int) -> bytes:
+    """The bytes of all records STARTING in [byte_start, byte_end).
+
+    The record straddling byte_end is read to completion; a record
+    straddling byte_start belongs to the previous range's owner. Ranges
+    produced by multihost.host_read_plan therefore partition the records.
+    """
+    size = os.path.getsize(path)
+    byte_end = size if byte_end < 0 else min(byte_end, size)
+    with open(path, "rb") as f:
+        lead = 1 if byte_start > 0 else 0
+        f.seek(byte_start - lead)
+        buf = f.read(byte_end - byte_start + lead)
+        end_off = len(buf)
+        # extend past byte_end to the next record start (or EOF)
+        while True:
+            nxt = _record_start_after(buf, end_off, fmt)
+            if nxt < len(buf):
+                buf = buf[:nxt]
+                break
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+    first = _record_start_after(buf, lead, fmt) if lead else \
+        _record_start_after(buf, 0, fmt)
+    return buf[first:]
+
+
+def _codes_from_bytes(data: bytes, fmt: str) -> tuple[np.ndarray, np.ndarray]:
+    seqs: list[np.ndarray] = []
+    if fmt == "fasta":
+        for block in data.split(b"\n>"):
+            if not block:
+                continue
+            if block[:1] == b">":
+                block = block[1:]
+            nl = block.find(b"\n")
+            if nl == -1:
+                continue
+            seq = block[nl + 1:].replace(b"\n", b"").replace(b"\r", b"")
+            seqs.append(_CHAR2BIN[np.frombuffer(seq, dtype=np.uint8)])
+    else:
+        lines = data.split(b"\n")
+        i = 0
+        while i + 1 < len(lines):
+            if not lines[i].startswith(b"@"):
+                i += 1
+                continue
+            seq = lines[i + 1].rstrip(b"\r")
+            seqs.append(_CHAR2BIN[np.frombuffer(seq, dtype=np.uint8)])
+            i += 4
+    starts = np.zeros(len(seqs) + 1, dtype=np.int64)
+    if seqs:
+        np.cumsum([len(s) for s in seqs], out=starts[1:])
+        codes = np.concatenate(seqs)
+    else:
+        codes = np.zeros(0, np.uint8)
+    return codes, starts
+
+
+def load_codes(path: str, byte_start: int = 0,
+               byte_end: int = -1) -> tuple[np.ndarray, np.ndarray]:
     """All reads of a file as (codes (uint8 concat), starts (int64, n+1)).
 
     Fast path: the native C++ decoder (platanus_b_tpu.native) over the
     (decompressed) file image; falls back to the Python parsers.
+
+    (byte_start, byte_end) restricts to records starting in that byte
+    range of the UNCOMPRESSED file — the multi-host ingest partition unit
+    (multihost.host_read_plan); compressed files cannot be range-split.
     """
     fmt = sniff_format(path)
     from .. import native
+    ranged = byte_start > 0 or byte_end >= 0
+    if ranged:
+        if is_compressed(path):
+            raise FormatError(
+                f"{path}: byte-range reads require an uncompressed file")
+        data = _read_range_bytes(path, fmt, byte_start, byte_end)
+        if native.available():
+            out = native.decode_reads(data, fmt)
+            if out is not None:
+                return out
+        return _codes_from_bytes(data, fmt)
     if native.available():
         with open_maybe_compressed(path, "rb") as f:
             data = f.read()

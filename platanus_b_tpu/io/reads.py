@@ -74,7 +74,13 @@ def load_read_batches(paths: Iterable[str], batch_size: int = 1 << 16,
     from . import fasta as fa
     from .. import native
     for path in paths:
-        codes, starts = fa.load_codes(path)
+        # multi-host ingest plan entries are (path, byte_start, byte_end)
+        # (multihost.host_read_plan); plain paths read the whole file
+        if isinstance(path, tuple):
+            path, b0, b1 = path
+            codes, starts = fa.load_codes(path, b0, b1)
+        else:
+            codes, starts = fa.load_codes(path)
         n = len(starts) - 1
         for b0 in range(0, max(n, 0), batch_size):
             b1 = min(b0 + batch_size, n)

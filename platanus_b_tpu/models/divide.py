@@ -513,3 +513,187 @@ def divide_erroneous_node(graph: ScaffoldGraph, libs, mapped,
     graph.contig_prev_parent = prev_parent
     LOG.counter("NUM_DIVIDED_ERROR_CANDIDATES", num_divided)
     return num_divided
+
+
+# ---------------------------------------------------------------------------
+# guide-graph division (pairedDBG.cpp:3905-4005)
+# ---------------------------------------------------------------------------
+# Note on reference status: divideUsingGuideGraph / extendUsingGuideGraph
+# are declared in pairedDBG.h:261-263 but have NO callers in any command
+# flow of v1.3.2 (checked: no call sites outside pairedDBG.cpp), and
+# extendUsingGuideGraph (:4068-4165) is abandoned debug code — its entire
+# division logic is commented out and it only prints layout diagnostics.
+# The real algorithm, divideUsingGuideGraph, is implemented here for
+# inventory completeness and exposed for guided division experiments.
+
+def set_corresponding_node_position(graph: ScaffoldGraph,
+                                    parts: list) -> list[tuple[int, int]]:
+    """setCorrespondingNodePosition (pairedDBG.cpp:3996-4005): map each
+    layout part's contig to its (signed node id, offset) in `graph`,
+    falling back to the opposite bubble contig's position."""
+    out: list[tuple[int, int]] = []
+    for cid, _st, _ed in parts:
+        ci = abs(cid) - 1
+        sgn = 1 if cid > 0 else -1
+        pid = int(graph.contig_pos_id[ci])
+        if pid != 0:
+            out.append((sgn * pid, int(graph.contig_pos_off[ci])))
+            continue
+        opp = int(graph.opposite_bubble_contig_id[ci])
+        if opp != 0 and graph.contig_pos_id[abs(opp) - 1] != 0:
+            oi = abs(opp) - 1
+            out.append((sgn * int(graph.contig_pos_id[oi]),
+                        int(graph.contig_pos_off[oi])))
+        else:
+            out.append((0, 0))
+    return out
+
+
+def _max_length_contig_id(ids: list[int], node_lengths: np.ndarray,
+                          start: int, end: int) -> int:
+    """maxLengthContigID (pairedDBG.cpp): the id whose occurrences in
+    [start, end) carry the largest total node length."""
+    acc: dict[int, int] = {}
+    for i in range(start, end):
+        v = ids[i]
+        if v == 0:
+            continue
+        acc[v] = acc.get(v, 0) + int(node_lengths[abs(v) - 1])
+    best_id, best = 0, 0
+    for v, c in acc.items():
+        if c > best:
+            best_id, best = v, c
+    return best_id
+
+
+def _fill_majority_id_run(ids: list[int], node_lengths: np.ndarray,
+                          ends: tuple[int, int],
+                          score_factor: float) -> tuple[int, int]:
+    """fillMajorityIDRun (pairedDBG.cpp:4007-4048 region): trim the range
+    to the maximal-scoring run of the majority id and overwrite it."""
+    max_id = _max_length_contig_id(ids, node_lengths, ends[0], ends[1])
+    if max_id == 0:
+        return ends
+    lo, hi = ends
+    for i in range(ends[0], ends[1]):
+        if ids[i] == max_id:
+            lo = i
+            break
+    for i in range(ends[1] - 1, ends[0] - 1, -1):
+        if ids[i] == max_id:
+            hi = i + 1
+            break
+    # prefix-score trims (reference keeps the minimal-score cut points)
+    score = max_score = 0
+    cut = lo
+    for i in range(lo, hi):
+        if score > max_score:
+            max_score = score
+            cut = i
+        if ids[i] != 0:
+            if ids[i] == max_id:
+                score -= int(node_lengths[abs(ids[i]) - 1])
+            else:
+                score += int(node_lengths[abs(ids[i]) - 1] * score_factor)
+    lo = cut
+    score = max_score = 0
+    cut = hi - 1
+    for i in range(hi - 1, lo, -1):
+        if score > max_score:
+            max_score = score
+            cut = i
+        if ids[i] != 0:
+            if ids[i] == max_id:
+                score -= int(node_lengths[abs(ids[i]) - 1])
+            else:
+                score += int(node_lengths[abs(ids[i]) - 1] * score_factor)
+    hi = cut + 1
+    for i in range(lo, hi):
+        ids[i] = max_id
+    return lo, hi
+
+
+def smooth_node_id_vector(ids: list[int], node_lengths: np.ndarray,
+                          score_factor: float = 0.0) -> None:
+    """smoothNodeIDVector (pairedDBG.cpp:4050-4066): recursively fill the
+    majority-id run, then recurse on the flanks outside it."""
+    stack = [(0, len(ids))]
+    while stack:
+        ends = stack.pop()
+        new_ends = _fill_majority_id_run(ids, node_lengths, ends,
+                                         score_factor)
+        if new_ends != ends:
+            stack.append((ends[0], new_ends[0]))
+            stack.append((new_ends[1], ends[1]))
+
+
+def divide_using_guide_graph(graph: ScaffoldGraph, guide: ScaffoldGraph,
+                             bubble_divide: bool = False) -> int:
+    """divideUsingGuideGraph (pairedDBG.cpp:3905-3993): walk each guide
+    layout through `graph`'s current scaffolds; where a part's actual node
+    disagrees with the smoothed (majority) node over the layout, mark a
+    breakpoint at that contig boundary; then split every node at its
+    breakpoints, emitting each piece only if it contains a not-yet-used
+    contig (uniqueFlag), and remake.
+
+    Contig-level bubble state (DBG_CONTIG_*_BUBBLE in the reference) is
+    approximated by opposite_bubble_contig_id != 0 — the repo tracks
+    bubble pairing at contig granularity through that array.
+    """
+    from .hetero import set_opposite_bubble_node_ids
+
+    set_opposite_bubble_node_ids(graph)
+    node_lengths = np.array([n.length for n in graph.node], dtype=np.int64)
+
+    bp = [np.zeros(len(n.contigs) + 1, dtype=bool) for n in graph.node]
+    for f in bp:
+        f[0] = f[-1] = True
+
+    def contig_is_bubble(ci: int) -> bool:
+        return graph.opposite_bubble_contig_id[ci] != 0
+
+    n_break = 0
+    for gnode in guide.node:
+        parts = gnode.contigs
+        alt = set_corresponding_node_position(graph, parts)
+        smoothed = [a[0] for a in alt]
+        smooth_node_id_vector(smoothed, node_lengths)
+        pre_id = 0
+        for i, (aid, aoff) in enumerate(alt):
+            if (pre_id != aid and smoothed[i] != 0 and aid != 0
+                    and smoothed[i] != aid):
+                ci1 = abs(parts[i][0]) - 1
+                anode = graph.node[abs(aid) - 1]
+                ci2 = abs(anode.contigs[aoff][0]) - 1
+                if bubble_divide or not (contig_is_bubble(ci1)
+                                         or contig_is_bubble(ci2)):
+                    pid1 = int(graph.contig_pos_id[ci1])
+                    if pid1 != 0:
+                        bp[abs(pid1) - 1][graph.contig_pos_off[ci1]] = True
+                    if aid > 0:
+                        bp[abs(aid) - 1][aoff] = True
+                    else:
+                        bp[abs(aid) - 1][aoff + 1] = True
+                    n_break += 1
+            pre_id = aid
+
+    num_used = np.zeros(graph.num_contig, dtype=np.int64)
+    new_nodes: list[list] = []
+    for ni, n in enumerate(graph.node):
+        contigs = n.contigs
+        i = 0
+        while i < len(contigs):
+            j = i
+            while not bp[ni][i + 1]:
+                i += 1
+            i += 1
+            piece = contigs[j:i]
+            if any(num_used[abs(cid) - 1] == 0 for cid, _s, _e in piece):
+                base = piece[0][1]
+                new_nodes.append([(cid, st - base, ed - base)
+                                  for cid, st, ed in piece])
+                for cid, _s, _e in piece:
+                    num_used[abs(cid) - 1] += 1
+    graph._remake(new_nodes)
+    LOG.counter("NUM_GUIDE_BREAKPOINTS", n_break)
+    return n_break
