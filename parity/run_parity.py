@@ -125,6 +125,81 @@ def run_timed(cmd: list[str], log: str, cwd: str) -> float:
     return time.perf_counter() - t0
 
 
+def simulate_paired(workdir: str, genome_size: int, read_len: int,
+                    insert: int, sd: int, coverage: float, error: float,
+                    seed: int) -> tuple[str, str, str]:
+    """PE simulation via tests/simdata (platanus -IP innie layout)."""
+    import simdata
+    rng = np.random.default_rng(seed)
+    genome = simdata.random_genome(rng, genome_size)
+    fwd, rev = simdata.paired_reads(rng, genome, read_len, insert, sd,
+                                    coverage, error_rate=error)
+    p1 = os.path.join(workdir, "pe_1.fa")
+    p2 = os.path.join(workdir, "pe_2.fa")
+    simdata.write_fasta(p1, fwd)
+    simdata.write_fasta(p2, rev)
+    with open(os.path.join(workdir, "genome.txt"), "w") as f:
+        f.write(genome)
+    return p1, p2, genome
+
+
+def run_iterate_mode(args) -> None:
+    """End-to-end `assemble` + `iterate` on both sides.
+
+    Exact set-parity is NOT expected here: iterate stacks ~40 heuristics,
+    minimap2 vs our chainer, and Perl combine filters — the oracle is
+    quality equivalence (N50 / #seqs / total bp / genome-truth
+    containment+coverage), with set_parity recorded as a bonus bit.
+    """
+    p1, p2, genome = simulate_paired(
+        args.workdir, args.genome_size, args.read_len, 400, 50,
+        args.coverage, args.error, args.seed)
+
+    def side(tag: str, assemble_cmd: list[str], iterate_cmd: list[str],
+             cwd: str) -> dict:
+        w1 = run_timed(assemble_cmd,
+                       os.path.join(args.workdir, f"{tag}_asm.log"), cwd)
+        w2 = run_timed(iterate_cmd,
+                       os.path.join(args.workdir, f"{tag}_it.log"), cwd)
+        out = os.path.join(args.workdir, f"{tag}_iterativeAssembly.fa")
+        seqs = read_fasta(out)
+        return {"wall_s_assemble": round(w1, 2),
+                "wall_s_iterate": round(w2, 2),
+                **seq_set_stats(seqs), **genome_truth(seqs, genome)}
+
+    pre_r = os.path.join(args.workdir, "ref")
+    ref = side("ref",
+               [args.ref_bin, "assemble", "-f", p1, p2, "-t",
+                str(args.threads), "-m", "4", "-o", pre_r],
+               [args.ref_bin, "iterate", "-c", f"{pre_r}_contig.fa",
+                "-IP1", p1, p2, "-i", str(args.rounds), "-t",
+                str(args.threads), "-o", pre_r],
+               args.workdir)
+    pre_t = os.path.join(args.workdir, "tpu")
+    tpu = side("tpu",
+               [sys.executable, "-m", "platanus_b_tpu", "assemble", "-f",
+                p1, p2, "-o", pre_t],
+               [sys.executable, "-m", "platanus_b_tpu", "iterate", "-c",
+                f"{pre_t}_contig.fa", "-IP1", p1, p2, "-i",
+                str(args.rounds), "-o", pre_t],
+               REPO)
+    out = {
+        "mode": "iterate",
+        "dataset": {"genome_bp": args.genome_size,
+                    "read_len": args.read_len, "insert": 400, "sd": 50,
+                    "coverage": args.coverage, "error_rate": args.error,
+                    "seed": args.seed, "rounds": args.rounds},
+        "reference": {"version": "1.3.2", "threads": args.threads, **ref},
+        "platanus_b_tpu": tpu,
+        "set_parity": ref["sorted_set_sha256"] == tpu["sorted_set_sha256"],
+    }
+    path = os.path.join(REPO, "parity",
+                        f"PARITY_iterate_{args.genome_size}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-size", type=int, default=1_000_000)
@@ -136,12 +211,20 @@ def main() -> None:
     ap.add_argument("--threads", type=int, default=os.cpu_count() or 2)
     ap.add_argument("--ref-bin", default="/tmp/refbuild/platanus_b")
     ap.add_argument("--workdir", default="/tmp/parity")
+    ap.add_argument("--mode", choices=["assemble", "iterate"],
+                    default="assemble")
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="iterate -i rounds (iterate mode)")
     ap.add_argument("--count-baseline", action="store_true",
                     help="measure reference -kmer_occ_only wall clock on "
                          "bench.py's 4 Mbp dataset and exit")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
+
+    if args.mode == "iterate" and not args.count_baseline:
+        run_iterate_mode(args)
+        return
 
     if args.count_baseline:
         import bench

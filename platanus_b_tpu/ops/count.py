@@ -154,6 +154,21 @@ def merge_counts(keys_a, counts_a, keys_b, counts_b):
 
 
 @jax.jit
+def merge_many(keys_list, counts_list):
+    """Merge N unique-count tables in one concat + sort + segment-sum.
+
+    One O(total log total) sort replaces a chain of growing pairwise
+    merges (each re-sorting the whole accumulator); used by the streaming
+    counting pipeline to fold all per-batch tables at once.
+    """
+    keys = jnp.concatenate(list(keys_list), axis=0)
+    counts = jnp.concatenate([c.astype(jnp.uint32) for c in counts_list],
+                             axis=0)
+    skeys, scounts = sort_by_key(keys, counts)
+    return dedup_sum(skeys, scounts)
+
+
+@jax.jit
 def filter_by_count(keys: jnp.ndarray, counts: jnp.ndarray,
                     n: jnp.ndarray, cutoff: jnp.ndarray):
     """Compact rows with count >= cutoff to the front, on device.
