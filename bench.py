@@ -4,15 +4,22 @@ Workload: a deterministic synthetic 4 Mbp genome at 40x / 125 bp / 0.3%
 error (1.28 M reads, 160 Mbp, ~120 M k-mer windows) — the same dataset
 BASELINE.md's reference measurement uses (platanus_b v1.3.2
 `assemble -kmer_occ_only`, built from /root/reference, run on this host's
-CPU). Measures the FULL counting pipeline: per-batch extract+sort+reduce
-on device plus the streaming cross-batch merge — the reference's
-equivalent stage is its multi-pass striped-hash count.
+CPU). Measures the FULL counting pipeline: host padding + host->device
+transfer, per-chunk extract+sort+dedup on device, the bounded
+log-structured cross-chunk fold, and the occurrence histogram — ending
+with the counted table DEVICE-resident, which is where its consumers
+(occurrence filtering, DBG construction: assemble_core.py
+build_dbg_from_device) read it. The reference's equivalent stage likewise
+ends with its DoubleHash table in RAM (counter.h:276-383); the optional
+kmer_occ.bin export is excluded on both sides.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; on any
+crash, prints a parseable JSON error record and exits nonzero.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -63,7 +70,7 @@ def main():
         pass
 
     from platanus_b_tpu.io.reads import ReadBatch
-    from platanus_b_tpu.models.assemble_core import count_reads
+    from platanus_b_tpu.models.assemble_core import count_reads_device
 
     reads = make_reads()
     n_reads = reads.shape[0]
@@ -73,16 +80,18 @@ def main():
                                  np.int32))
                for i in range(0, n_reads, BATCH_READS)]
 
-    # warmup: one full pass compiles every shape the pipeline uses (the
-    # streaming-merge accumulator capacity grows with the data, so partial
-    # warmup misses shapes); the timed pass then measures steady-state
-    # throughput, not XLA compile time. Compilations also persist in the
-    # on-disk cache, so repeat runs skip the compile cost entirely.
-    _ = count_reads(batches, K)
+    # warmup: one full pass compiles every shape the pipeline uses; the
+    # timed pass then measures steady-state throughput, not XLA compile
+    # time. Compilations also persist in the on-disk cache, so repeat
+    # runs skip the compile cost entirely.
+    keys, counts, n, hist = count_reads_device(batches, K)
+    assert n > 0 and hist.sum() > 0
+    del keys, counts
 
     t0 = time.perf_counter()
-    table, hist = count_reads(batches, K)
+    keys, counts, n, hist = count_reads_device(batches, K)
     dt = time.perf_counter() - t0
+    assert n > 0 and hist.sum() > 0
 
     kmers_per_s = n_windows / dt
     baseline_wall = BASELINE_WALL_S
@@ -99,4 +108,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # always leave a parseable record
+        print(json.dumps({
+            "metric": "kmer_count_throughput_k32",
+            "value": 0,
+            "unit": "kmers/s",
+            "vs_baseline": 0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        raise

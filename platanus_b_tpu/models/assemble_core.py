@@ -63,51 +63,63 @@ def count_reads_device(batches: list[ReadBatch], k: int):
     Returns (keys, counts, n, histogram) with keys/counts device-resident
     (capacity-padded, SENTINEL tails). Each batch is sorted + deduped on
     device (2.5-3x shrink) and parked in HBM at a power-of-two capacity;
-    ALL batch tables then merge in ONE concat+sort+segment-sum — a single
-    O(N log N) pass instead of a growing per-batch accumulator re-sort
-    (which made the merge cost quadratic-ish in practice). This replaces
-    the reference's out-of-core spill passes (counter.h:341-364). The
-    table stays on device because its consumers — occurrence filtering
-    and DBG construction — run there; only the tiny histogram crosses.
+    parked tables fold through a bounded log-structured accumulator
+    (cnt.TableAccumulator) whose per-fold sort working set is capped —
+    the HBM-safe replacement for the reference's out-of-core spill passes
+    (counter.h:341-364). The table stays on device because its consumers
+    — occurrence filtering and DBG construction — run there; only the
+    tiny histogram crosses.
     """
     from collections import deque
 
     from ..ops.padding import next_pow2
-    tables: list[tuple] = []
-    # bounded dispatch queue: batch i+1..i+Q count on device while batch
-    # i's unique count syncs to host for the capacity slice — overlaps
-    # host padding/transfer with device sorting (the reference overlaps
-    # via per-thread files, counter.h:322-325)
-    QUEUE = 3
+
+    W = num_words(k)
+    acc = cnt.TableAccumulator(W)
+    # chunking: extraction is per-batch (keeps transfer granularity), but
+    # several batches' windows concat into ONE sort — large sorts
+    # amortize the bitonic pass structure far better than per-batch
+    # sorts. The unique-count sync for chunk i happens only after chunk
+    # i+1's sort is dispatched (lookahead queue), so host round trips —
+    # expensive over the device tunnel — overlap device compute.
+    CHUNK_ROWS = 64 << 20
+    parts: list = []
+    part_rows = 0
     pending: deque = deque()
 
     def park(item):
         keys, counts, n = item
-        n = int(n)
-        cap = min(next_pow2(n), keys.shape[0])
-        tables.append((keys[:cap], counts[:cap], n))
+        n = int(n)  # the only per-chunk host sync
+        cap = min(next_pow2(max(n, 1)), keys.shape[0])
+        acc.add(keys[:cap], counts[:cap], n)
+
+    def flush_chunk():
+        nonlocal parts, part_rows
+        if not parts:
+            return
+        cap = next_pow2(part_rows)
+        if cap > part_rows:
+            parts.append(jnp.full((cap - part_rows, W), np.uint32(0xFFFFFFFF),
+                                  dtype=jnp.uint32))
+        flat = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        pending.append(cnt.count_sorted_chunk(flat))
+        parts, part_rows = [], 0
+        if len(pending) >= 2:
+            park(pending.popleft())
 
     for b in batches:
         if b.num_reads == 0:
             continue
-        pending.append(cnt.count_batch(_pad_codes(b.codes), k))
-        if len(pending) >= QUEUE:
-            park(pending.popleft())
+        flat = cnt.extract_flat(_pad_codes(b.codes), k)
+        parts.append(flat)
+        part_rows += flat.shape[0]
+        if part_rows >= CHUNK_ROWS:
+            flush_chunk()
+    flush_chunk()
     while pending:
         park(pending.popleft())
 
-    if not tables:
-        acc_keys = jnp.zeros((0, num_words(k)), jnp.uint32)
-        acc_counts = jnp.zeros((0,), jnp.uint32)
-        acc_n = 0
-    elif len(tables) == 1:
-        acc_keys, acc_counts, acc_n = tables[0]
-    else:
-        mk, mc, mn = cnt.merge_many(tuple(t[0] for t in tables),
-                                    tuple(t[1] for t in tables))
-        acc_n = int(mn)
-        cap = min(next_pow2(acc_n), mk.shape[0])
-        acc_keys, acc_counts = mk[:cap], mc[:cap]
+    acc_keys, acc_counts, acc_n = acc.result()
     hist = np.asarray(cnt.occurrence_histogram(acc_counts))
     return acc_keys, acc_counts, acc_n, hist
 
