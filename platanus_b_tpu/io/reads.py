@@ -9,7 +9,7 @@ extraction without any host-side re-parsing.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterable, Iterator, Sequence
 
 import numpy as np
@@ -28,6 +28,7 @@ class ReadBatch:
 
     codes: np.ndarray
     lengths: np.ndarray
+    _packed: tuple | None = field(default=None, repr=False, compare=False)
 
     @property
     def num_reads(self) -> int:
@@ -43,6 +44,37 @@ class ReadBatch:
 
     def __len__(self) -> int:
         return self.num_reads
+
+    def packed(self) -> tuple[np.ndarray, np.ndarray]:
+        """2-bit packed upload form: (words, nmask) uint32 arrays.
+
+        words (R2, L2//16): 16 bases per u32 word, base 0 in the top two
+        bits; nmask (R2, L2//32): per-base N/padding flag, bit 31 first.
+        R2 = pow2 row capacity (min 256), L2 = cols padded to a multiple
+        of 32, padding marked N. This quarters host->device bytes — the
+        dominant ingest cost over the device tunnel — and matches the
+        reference's own 2-bit read storage (binstr.h:36-281). Cached, so
+        packing is paid once per batch.
+        """
+        if self._packed is None:
+            from ..ops.padding import next_pow2
+            r, l = self.codes.shape
+            r2 = next_pow2(r, minimum=256)
+            l2 = -(-max(l, 1) // 32) * 32
+            c = np.full((r2, l2), BASE_N, dtype=np.uint8)
+            c[:r, :l] = self.codes
+            isn = c > 3
+            c2 = np.where(isn, 0, c).astype(np.uint32)
+            v = c2.reshape(r2, l2 // 16, 16)
+            words = np.zeros((r2, l2 // 16), dtype=np.uint32)
+            for i in range(16):
+                words |= v[:, :, i] << np.uint32(30 - 2 * i)
+            b = isn.reshape(r2, l2 // 32, 32).astype(np.uint32)
+            nmask = np.zeros((r2, l2 // 32), dtype=np.uint32)
+            for i in range(32):
+                nmask |= b[:, :, i] << np.uint32(31 - i)
+            self._packed = (words, nmask)
+        return self._packed
 
 
 def pack_reads(seqs: Sequence[str | np.ndarray], max_len: int | None = None,

@@ -110,11 +110,16 @@ def count_reads_device(batches: list[ReadBatch], k: int):
     for b in batches:
         if b.num_reads == 0:
             continue
-        flat = cnt.extract_flat(_pad_codes(b.codes), k)
+        words, nmask = b.packed()
+        flat = cnt.extract_flat_packed(jnp.asarray(words),
+                                       jnp.asarray(nmask), k)
+        # flush BEFORE exceeding the budget: the chunk pads up to the
+        # next power of two, so overshooting (e.g. 76M -> 128M cap) would
+        # waste ~40% of the sort on SENTINEL padding
+        if part_rows and part_rows + flat.shape[0] > CHUNK_ROWS:
+            flush_chunk()
         parts.append(flat)
         part_rows += flat.shape[0]
-        if part_rows >= CHUNK_ROWS:
-            flush_chunk()
     flush_chunk()
     while pending:
         park(pending.popleft())

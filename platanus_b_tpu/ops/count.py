@@ -87,12 +87,12 @@ def dedup_sum(sorted_keys: jnp.ndarray, sorted_counts: jnp.ndarray):
     n_unique = jnp.sum(is_new.astype(jnp.int32))
     counts = jnp.where(valid, sorted_counts.astype(jnp.uint32), 0)
     csum = jnp.cumsum(counts)
-    prev_end = jax.lax.cummax(jnp.where(is_end, csum, 0))
-    prev = jnp.concatenate([jnp.zeros((1,), csum.dtype), prev_end[:-1]])
-    totals = csum - prev
-    ckeys, ctotals = _compact_ends(sorted_keys, is_end, totals)
+    # compact the inclusive cumsum at run ends; run totals are then just
+    # adjacent differences of the COMPACTED rows (end i minus end i-1)
+    ckeys, ccsum = _compact_ends(sorted_keys, is_end, csum)
+    prev = jnp.concatenate([jnp.zeros((1,), ccsum.dtype), ccsum[:-1]])
     in_range = jnp.arange(n, dtype=jnp.int32) < n_unique
-    ucounts = jnp.where(in_range, ctotals, 0).astype(jnp.uint32)
+    ucounts = jnp.where(in_range, ccsum - prev, 0).astype(jnp.uint32)
     ukeys = jnp.where(in_range[:, None], ckeys,
                       jnp.full_like(ckeys, SENTINEL))
     return ukeys, ucounts, n_unique
@@ -135,6 +135,17 @@ def extract_flat(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     return keys.reshape(-1, keys.shape[-1])
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_flat_packed(words: jnp.ndarray, nmask: jnp.ndarray,
+                        k: int) -> jnp.ndarray:
+    """extract_flat on 2-bit packed uploads (ReadBatch.packed()) — the
+    byte-per-base unpack happens on device, so host->device traffic is
+    2.25 bits/base instead of 8."""
+    from .kmer import unpack_codes
+    keys, _valid = extract_canonical_kmers(unpack_codes(words, nmask), k)
+    return keys.reshape(-1, keys.shape[-1])
+
+
 @jax.jit
 def count_sorted_chunk(flat: jnp.ndarray):
     """Sort + dedup a chunk of raw canonical keys (SENTINEL = invalid).
@@ -151,12 +162,10 @@ def count_sorted_chunk(flat: jnp.ndarray):
     n_valid = jnp.sum(valid.astype(jnp.uint32))
     n_unique = jnp.sum(is_new.astype(jnp.int32))
     csum = jnp.minimum(jnp.arange(1, n + 1, dtype=jnp.uint32), n_valid)
-    prev_end = jax.lax.cummax(jnp.where(is_end, csum, 0))
-    prev = jnp.concatenate([jnp.zeros((1,), csum.dtype), prev_end[:-1]])
-    totals = csum - prev
-    ckeys, ctotals = _compact_ends(skeys, is_end, totals)
+    ckeys, ccsum = _compact_ends(skeys, is_end, csum)
+    prev = jnp.concatenate([jnp.zeros((1,), ccsum.dtype), ccsum[:-1]])
     in_range = jnp.arange(n, dtype=jnp.int32) < n_unique
-    ucounts = jnp.where(in_range, ctotals, 0).astype(jnp.uint32)
+    ucounts = jnp.where(in_range, ccsum - prev, 0).astype(jnp.uint32)
     ukeys = jnp.where(in_range[:, None], ckeys,
                       jnp.full_like(ckeys, SENTINEL))
     return ukeys, ucounts, n_unique
@@ -301,22 +310,21 @@ def occurrence_histogram(counts: jnp.ndarray) -> jnp.ndarray:
     """Occurrence distribution: hist[occ] = #distinct k-mers seen occ times.
 
     Mirrors occurrenceDistribution (counter.h:209-212); occurrences are
-    clipped to MAX_OCCURRENCE like the saturating u16 counter.
+    clipped to MAX_OCCURRENCE like the saturating u16 counter. One
+    single-key sort of the clipped values, then per-bin counts are
+    adjacent differences of a 65536-query searchsorted — queries are
+    BOUNDED (bin count, not table size), so the binary search's gather
+    passes stay tiny.
     """
-    n = counts.shape[0]
-    occ = jnp.clip(counts, 0, MAX_OCCURRENCE).astype(jnp.uint32)
-    # sort-based binning: occurrence values as 1-word keys (zeros -> SENTINEL
-    # so they are excluded), dedup to (value, multiplicity) runs, then a tiny
-    # scatter over at most 65536 compacted rows — never over all n entries
-    keys = jnp.where(counts > 0, occ, jnp.uint32(SENTINEL))[:, None]
-    ones = (counts > 0).astype(jnp.uint32)
-    skeys, sones = sort_by_key(keys, ones)
-    vals, mult, _ = dedup_sum(skeys, sones)
-    m = min(n, MAX_OCCURRENCE + 1)
-    idx = jnp.where(vals[:m, 0] == SENTINEL,
-                    jnp.uint32(MAX_OCCURRENCE + 1), vals[:m, 0])
-    return jnp.zeros((MAX_OCCURRENCE + 1,), jnp.int32).at[idx].add(
-        mult[:m].astype(jnp.int32), mode="drop")
+    occ = jnp.where(counts > 0,
+                    jnp.clip(counts, 0, MAX_OCCURRENCE).astype(jnp.uint32),
+                    jnp.uint32(SENTINEL))
+    (socc,) = jax.lax.sort((occ,), num_keys=1)
+    bounds = jnp.searchsorted(socc,
+                              jnp.arange(MAX_OCCURRENCE + 2,
+                                         dtype=jnp.uint32),
+                              side="left")
+    return (bounds[1:] - bounds[:-1]).astype(jnp.int32)
 
 
 def left_local_minimal_value(hist: np.ndarray, window_size: int = 1) -> int:

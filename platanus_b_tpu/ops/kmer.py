@@ -94,6 +94,23 @@ def extract_forward_kmers(codes: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.
     return keys, valid
 
 
+@jax.jit
+def unpack_codes(words: jnp.ndarray, nmask: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ReadBatch.packed(): (R, L//16) u32 words + (R, L//32)
+    u32 N-bitmask -> (R, L) uint8 codes with 4 at N/padding positions.
+    Pure shifts/selects — the upload stays at 2.25 bits/base and the
+    byte-per-base layout the extraction kernels consume is materialized
+    device-side."""
+    R, WW = words.shape
+    base = jnp.stack([(words >> np.uint32(30 - 2 * i)) & 3
+                      for i in range(16)], axis=-1).astype(jnp.uint8)
+    base = base.reshape(R, WW * 16)
+    nb = jnp.stack([(nmask >> np.uint32(31 - i)) & 1
+                    for i in range(32)], axis=-1).astype(jnp.uint8)
+    nb = nb.reshape(R, WW * 16)
+    return jnp.where(nb != 0, jnp.uint8(4), base)
+
+
 def kmer_to_codes(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     """Unpack (..., W) keys into (..., k) uint8 base codes (device-side)."""
     W = keys.shape[-1]
