@@ -76,6 +76,12 @@ def run(args) -> int:
     batches = list(load_read_batches(files))
     result = assemble(batches, opts)
 
+    if mh.process_count() > 1 and mh.process_index() != 0:
+        # all hosts hold the identical result (global merges); only host 0
+        # writes output files — otherwise hosts race on the same -o paths
+        LOG.info("assemble completed (non-zero host, no output)!")
+        return 0
+
     # k-mer frequency distribution TSV (assemble.cpp:337-340)
     if result.hist0 is not None:
         cnt.write_occurrence_tsv(f"{args.o}_{result.k0}merFrq.tsv", result.hist0)

@@ -20,53 +20,21 @@ def build_parser() -> argparse.ArgumentParser:
                      f"with Platanus_B v{REFERENCE_VERSION} capabilities"))
     sub = parser.add_subparsers(dest="command", required=True)
 
-    from . import assemble_cmd
+    # unconditional imports: a broken subcommand module must fail loudly,
+    # not silently vanish from the CLI
+    from . import (assemble_cmd, combine_cmd, gap_close_cmd, iterate_cmd,
+                   kmer_divide_cmd, merge_cmd, orchestrators, polish_cmd,
+                   scaffold_cmd, solve_dbg_cmd)
     assemble_cmd.add_parser(sub)
-    try:
-        from . import scaffold_cmd
-        scaffold_cmd.add_parser(sub)
-    except ImportError:
-        pass
-    try:
-        from . import solve_dbg_cmd
-        solve_dbg_cmd.add_parser(sub)
-    except ImportError:
-        pass
-    try:
-        from . import gap_close_cmd
-        gap_close_cmd.add_parser(sub)
-    except ImportError:
-        pass
-    try:
-        from . import polish_cmd
-        polish_cmd.add_parser(sub)
-    except ImportError:
-        pass
-    try:
-        from . import merge_cmd
-        merge_cmd.add_parser(sub)
-    except ImportError:
-        pass
-    try:
-        from . import kmer_divide_cmd
-        kmer_divide_cmd.add_parser(sub)
-    except ImportError:
-        pass
-    try:
-        from . import iterate_cmd
-        iterate_cmd.add_parser(sub)
-    except ImportError:
-        pass
-    try:
-        from . import orchestrators
-        orchestrators.add_parsers(sub)
-    except ImportError:
-        pass
-    try:
-        from . import combine_cmd
-        combine_cmd.add_parser(sub)
-    except ImportError:
-        pass
+    scaffold_cmd.add_parser(sub)
+    solve_dbg_cmd.add_parser(sub)
+    gap_close_cmd.add_parser(sub)
+    polish_cmd.add_parser(sub)
+    merge_cmd.add_parser(sub)
+    kmer_divide_cmd.add_parser(sub)
+    iterate_cmd.add_parser(sub)
+    orchestrators.add_parsers(sub)
+    combine_cmd.add_parser(sub)
     return parser
 
 
@@ -97,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    # multi-process bring-up (JAX_COORDINATOR_ADDRESS & friends) must run
+    # before any backend use; logs whether multi-host mode is active
+    from ..parallel import multihost as mh
+    if mh.initialize():
+        LOG.info(f"multi-host runtime: process {mh.process_index()} "
+                 f"of {mh.process_count()}")
     _enable_compilation_cache()
     LOG.info(f"platanus_b_tpu version {__version__} "
              f"(Platanus_B {REFERENCE_VERSION} capabilities)")

@@ -25,6 +25,10 @@ from ..models.scaffold import (MAX_TOL_FACTOR, MIN_TOL_FACTOR, ScaffoldGraph,
 from ..utils.errors import ArgError, IOError_
 from ..utils.log import LOG
 
+# long-read alignment gates for scaffolding decisions (solveDBG.cpp:44-46:
+# MIN_LONG_READ_LENGTH_CUTOFF / MIN_IDENTITY_FOR_SCAFFOLD >= 0.8 via PAF)
+MIN_IDENTITY_FOR_SCAFFOLD = 0.8
+
 
 def add_parser(sub) -> None:
     p = sub.add_parser("solve_dbg", help="resolve graph structures and scaffold")
@@ -176,14 +180,24 @@ def update_insert_size(graph: ScaffoldGraph, mp, lib) -> None:
         lib.average_insert, lib.sd_insert = avg, sd
 
 
-def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
-                min_link: int = 3, min_overlap_scaf: int = 32,
-                seed_lengths=(32,), reduce_redundancy: bool = False,
-                trim_overlap: bool = False, long_read_paths=(),
-                tag_x_paths=(), tag_xx_paths=(), phasing: bool = False):
+def _setup_graph(contig_paths: list[str], libspecs, out_prefix: str,
+                 min_link: int, seed_lengths=(32,), long_read_paths=(),
+                 tag_x_paths=(), tag_xx_paths=(), bubble_paths=()):
+    """Shared graph construction: load contigs (+optional -b bubble
+    contigs, appended like readLibrary's numInputBubbleContig block),
+    build the overlap table, map PE libraries, align long reads, count
+    tags (mapLibraryAndInitGraph, solveDBG.cpp:642-774). Returns
+    (graph, libs, mapped, read_records, avg_long_len, read_len, max_k,
+    n_normal_contigs)."""
     names, seqs, covs, read_len, max_k = load_contigs(contig_paths)
     if not seqs:
         raise ArgError("solve_dbg: empty contig input")
+    n_normal = len(seqs)
+    if bubble_paths:
+        bnames, bseqs, bcovs, _rl, _mk = load_contigs(list(bubble_paths))
+        names += bnames
+        seqs += bseqs
+        covs = np.concatenate([covs, bcovs])
     lens = np.array([len(s) for s in seqs], dtype=np.float64)
     avg_cov = float((covs * lens).sum() / max(lens.sum(), 1.0))
     LOG.counter("CONTIG_AVERAGE_COVERAGE", avg_cov)
@@ -197,6 +211,7 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                           seed_length=min(seed_lengths))
     graph.average_coverage = avg_cov
     graph.min_link = min_link
+    graph.contig_max_k = max_k
     graph.save_overlap(index, cutoff_length=max_k)
 
     # map libraries once on contigs; positions are lifted per round
@@ -233,7 +248,8 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
         name_index = {n: i for i, n in enumerate(names)}
         read_records = alignments_to_read_records(
             alns, name_index, min_alignment_length=1000,
-            min_coverage=0.8, min_identity=0.5,
+            min_coverage=0.8,
+            min_identity=MIN_IDENTITY_FOR_SCAFFOLD,
             tolerence=max_k)
         if read_records:
             avg_long_len = int(np.mean([rl for rl, _ in
@@ -248,6 +264,19 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                                           list(tag_xx_paths))
         graph.set_contig_tag_counts(*seqlib.count_mapped_tag_for_each_contig(
             index, tag_lib, seed_lengths=tuple(seed_lengths)))
+    return (graph, libs, mapped, read_records, avg_long_len, read_len,
+            max_k, n_normal)
+
+
+def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
+                min_link: int = 3, min_overlap_scaf: int = 32,
+                seed_lengths=(32,), reduce_redundancy: bool = False,
+                trim_overlap: bool = False, long_read_paths=(),
+                tag_x_paths=(), tag_xx_paths=(), phasing: bool = False):
+    (graph, libs, mapped, read_records, avg_long_len, read_len, max_k,
+     _n_normal) = _setup_graph(contig_paths, libspecs, out_prefix,
+                               min_link, seed_lengths, long_read_paths,
+                               tag_x_paths, tag_xx_paths)
 
     if phasing:
         # DBG bubble extraction on the initial contig graph
@@ -261,7 +290,32 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
         hetero.classify_node(graph)
 
     join_unambiguous_overlaps(graph)
+    extend_consensus(graph, libs, mapped, read_records, avg_long_len,
+                     max_k, min_link, min_overlap_scaf)
 
+    if libs:
+        graph.tolerence = int(MAX_TOL_FACTOR * libs[-1].sd_insert)
+    else:
+        graph.tolerence = max_k
+    if phasing:
+        # final hetero cleanup + node-level bubble pairing for outputs
+        # (solveDBG.cpp:560-575 bubble-removal block;
+        # pairedDBG.cpp:2328-2341 pairFlag scan)
+        from ..models import hetero
+        hetero.crush_hetero_bubble(graph, graph.average_coverage)
+        hetero.delete_hetero_edge(graph)
+        hetero.set_opposite_bubble_node_ids(graph)
+    results = graph.load_result_seq(max_k, read_len, max_k, trim_overlap)
+    if reduce_redundancy:
+        mark_redundant_result_seq(results)
+    return results, graph
+
+
+def extend_consensus(graph, libs, mapped, read_records, avg_long_len,
+                     max_k, min_link, min_overlap_scaf) -> None:
+    """extendConsensus (solveDBG.cpp:1177-1432): the consensus scaffolding
+    engine — cross solving, base-level division, tolerance-ramped
+    scaffolding rounds, long-read scaffolding."""
     from ..models.divide import divide_erroneous_node_base_level
 
     for outer in range(2):
@@ -348,23 +402,6 @@ def run_unphase(contig_paths: list[str], libspecs, out_prefix: str,
                                                  read_records)
     graph.min_overlap = max_k - 1
 
-    if libs:
-        graph.tolerence = int(MAX_TOL_FACTOR * libs[-1].sd_insert)
-    else:
-        graph.tolerence = max_k
-    if phasing:
-        # final hetero cleanup + node-level bubble pairing for outputs
-        # (solveDBG.cpp:560-575 bubble-removal block;
-        # pairedDBG.cpp:2328-2341 pairFlag scan)
-        from ..models import hetero
-        hetero.crush_hetero_bubble(graph, graph.average_coverage)
-        hetero.delete_hetero_edge(graph)
-        hetero.set_opposite_bubble_node_ids(graph)
-    results = graph.load_result_seq(max_k, read_len, max_k, trim_overlap)
-    if reduce_redundancy:
-        mark_redundant_result_seq(results)
-    return results, graph
-
 
 def write_results(results, out_prefix: str, suffix: str, comp_suffix: str):
     recs = [(r.name, fa.codes_to_seq(r.seq)) for r in results
@@ -377,109 +414,282 @@ def write_results(results, out_prefix: str, suffix: str, comp_suffix: str):
     return len(recs)
 
 
-def run_phasing(args) -> int:
-    """Default (phasing) flow: scaffold with DBG-bubble tracking, then
-    partition results into primary/secondary bubble pairs and hetero/other
-    blocks (solveDBG.cpp:266-637; outputs per pairedDBG.cpp:2296-2394).
-
-    Pairing sources, in priority order:
-    1. graph-tracked mutual opposite-bubble node ids
-       (setOppositeBubbleContigID* -> set_opposite_bubble_node_ids);
-    2. crushed DBG-bubble records (crushSimpleDBGBubble /
-       PairedDBG::crushHeteroBubble), whose primary is located via its
-       representative contig's final scaffold;
-    3. post-hoc containment alignment for -b input bubbles and leftovers
-       (models.phasing; mirrors HeteroMapper bubble mapping)."""
+def _no_scaffold_phasing(args) -> int:
+    """-no_scaffold: classify the input contigs directly into the
+    *Contig.fa output variants (solveDBG.cpp:628-631) via post-hoc
+    containment classification (models.phasing)."""
     from ..models.phasing import classify_phase_blocks, write_phase_outputs
-    from ..models.phasing import PhaseBlock
-    from ..models.scaffold import DBG_SECONDARY_BUBBLE
+    from ..models.scaffold import ResultSeq
 
     names, seqs, covs, read_len, max_k = load_contigs(args.c)
-    graph = None
-    if args.no_scaffold:
-        # classify the input contigs directly (-no_scaffold outputs the
-        # *Contig.fa variants, solveDBG.cpp:628-631)
-        from ..models.scaffold import ResultSeq
-        results = [ResultSeq(seq=s, name=n, component="")
-                   for n, s in zip(names, seqs)]
-        graph_avg = float(np.average(covs, weights=[len(s) for s in seqs]) \
-                          if len(seqs) else 0.0)
-        suffixes = ("_primaryBubbleContig.fa", "_secondaryBubbleContig.fa",
-                    "_nonBubbleHeteroContig.fa", "_nonBubbleOtherContig.fa",
-                    "_bubbleContigRelation.tsv")
-    else:
-        results, graph = run_unphase(
-            args.c, getattr(args, "libspecs", []), args.o,
-            min_link=args.l, min_overlap_scaf=args.v,
-            seed_lengths=tuple(args.s),
-            reduce_redundancy=args.reduce_redundancy,
-            trim_overlap=args.trim_overlap,
-            long_read_paths=tuple(args.p) + tuple(args.ont),
-            tag_x_paths=tuple(args.x), tag_xx_paths=tuple(args.X),
-            phasing=True)
-        graph_avg = graph.average_coverage
-        suffixes = ("_primaryBubble.fa", "_secondaryBubble.fa",
-                    "_nonBubbleHetero.fa", "_nonBubbleOther.fa",
-                    "_bubbleRelation.tsv")
-
+    results = [ResultSeq(seq=s, name=n, component="")
+               for n, s in zip(names, seqs)]
+    graph_avg = float(np.average(covs, weights=[len(s) for s in seqs])
+                      if len(seqs) else 0.0)
+    suffixes = ("_primaryBubbleContig.fa", "_secondaryBubbleContig.fa",
+                "_nonBubbleHeteroContig.fa", "_nonBubbleOtherContig.fa",
+                "_bubbleContigRelation.tsv")
     bubbles = []
     for path in args.b:
         if not os.path.exists(path):
             raise IOError_(f"cannot open file: {path}")
         for n, s in fa.iter_fasta(path):
             bubbles.append((fa.parse_cov(n), fa.seq_to_codes(s)))
-
-    tracked_pairs = []
-    if graph is not None:
-        # source 1: mutual opposite-bubble node pairs
-        node_to_result = {r.node_index: ri for ri, r in enumerate(results)
-                          if not r.redundant}
-        used: set[int] = set()
-        for ri, r in enumerate(results):
-            if r.redundant or r.node_index < 0 or ri in used:
-                continue
-            nd = graph.node[r.node_index]
-            opp = nd.opposite_bubble_node_id
-            if opp == 0 or (nd.state & DBG_SECONDARY_BUBBLE):
-                continue
-            oni = abs(opp) - 1
-            if abs(graph.node[oni].opposite_bubble_node_id) \
-                    != r.node_index + 1:
-                continue
-            oi = node_to_result.get(oni)
-            if oi is None or oi in used or oi == ri:
-                continue
-            sec_seq = results[oi].seq
-            if opp < 0:
-                sec_seq = sec_seq[::-1].copy()
-                m = sec_seq < 4
-                sec_seq[m] = 3 - sec_seq[m]
-            tracked_pairs.append(
-                (r.seq, fa.parse_cov(r.name), sec_seq,
-                 fa.parse_cov(results[oi].name)))
-            used.add(ri)
-            used.add(oi)
-        # source 2: crushed DBG-bubble pairs (secondary seq + primary's
-        # representative contig -> final result)
-        for sec_seq, prim_contig in graph.bubble_pairs:
-            nid = abs(graph.contig_pos_id[prim_contig - 1])
-            oi = node_to_result.get(nid - 1) if nid else None
-            if oi is None or oi in used:
-                continue
-            r = results[oi]
-            tracked_pairs.append(
-                (r.seq, fa.parse_cov(r.name), sec_seq,
-                 graph.coverage[prim_contig - 1]))
-            used.add(oi)
-        results = [r for ri, r in enumerate(results) if ri not in used]
-
     pairs, hetero_ids, other_ids, blocks = classify_phase_blocks(
-        results, bubbles, graph_avg,
-        hetero_coverage=graph.hetero_coverage if graph is not None else 0.0)
-    # prepend tracked pairs as PhaseBlocks
-    for p_seq, p_cov, s_seq, s_cov in reversed(tracked_pairs):
-        blocks.append(PhaseBlock(seq=p_seq, coverage=p_cov, source=-2))
-        blocks.append(PhaseBlock(seq=s_seq, coverage=s_cov, source=-2,
+        results, bubbles, graph_avg, hetero_coverage=0.0)
+    write_phase_outputs(args.o, pairs, hetero_ids, other_ids, blocks,
+                        read_len, max_k, suffixes=suffixes)
+    with open(args.o + "_phasedScaffoldComponent.bed", "w") as f:
+        for r in results:
+            f.write(r.component)
+    LOG.info("solve_DBG completed!")
+    LOG.report_memory()
+    return 0
+
+
+def run_phasing(args) -> int:
+    """Default (phasing) flow — graph-tracked haplotype division
+    (solveDBG.cpp:266-637): contig-level bubble pairing feeds node-level
+    opposite-bubble tracking; 4 outer rounds of cross resolution
+    (LINK/TAG/SCORE, per-library + AllLibraries, overlap + gapped),
+    bubble-aware phase scaffolding, and bubble-based node division; then
+    secondary-bubble removal, a consensus extension, secondary recovery,
+    and paired primary/secondary outputs (pairedDBG.cpp:2296-2389)."""
+    from ..models import bubble as bb
+    from ..models import hetero
+    from ..models.divide import divide_erroneous_node
+    from ..models.scaffold import (CROSS_LINK_RATE_THRESHOLD,
+                                   CROSS_SCORE_RATE_THRESHOLD)
+
+    if args.no_scaffold:
+        return _no_scaffold_phasing(args)
+
+    (graph, libs, mapped, read_records, avg_long_len, read_len, max_k,
+     n_normal) = _setup_graph(
+        args.c, getattr(args, "libspecs", []), args.o, args.l,
+        tuple(args.s), tuple(args.p) + tuple(args.ont),
+        tuple(args.x), tuple(args.X), bubble_paths=tuple(args.b))
+    min_link = args.l
+    min_link_phase = args.k
+    sources = list(zip(libs, mapped))
+    tag_mode = "tag" if graph.contig_tag is not None else "link"
+
+    def rebuild_pe():
+        graph.make_graph()
+
+    def rebuild_long():
+        graph.make_graph_long(read_records)
+
+    # initial bubble information (solveDBG.cpp:266-281)
+    hetero.extract_dbg_bubble_information(graph, max_k)
+    bb.set_opposite_bubble_contig_id_by_end_match(graph, n_normal)
+    hetero.set_opposite_bubble_contig_id_overlapped(graph)
+    bb.set_bubble_junction_contig_id_overlapped(graph)
+    join_unambiguous_overlaps(graph)
+
+    for outer in range(4):
+        # --- overlap-mode cross solving (solveDBG.cpp:283-346)
+        for li, lib in enumerate(libs):
+            graph.lib, graph.pairs = lib, mapped[li]
+            graph.tolerence = int(MAX_TOL_FACTOR * lib.sd_insert)
+            graph.min_link = min_link_phase
+            join_unambiguous_overlaps(graph)
+            rebuild_pe()
+            graph.solve_simple_cross_structure_iterative(
+                CROSS_LINK_RATE_THRESHOLD, "link", rebuild=rebuild_pe)
+            graph.min_link = min_link
+            graph.solve_simple_cross_structure_iterative(
+                CROSS_LINK_RATE_THRESHOLD, "link", rebuild=rebuild_pe)
+        if read_records:
+            graph.min_link = min_link_phase
+            join_unambiguous_overlaps(graph)
+            rebuild_long()
+            graph.solve_simple_cross_structure_iterative(
+                CROSS_SCORE_RATE_THRESHOLD, "score", rebuild=rebuild_long)
+            graph.min_link = min_link
+            graph.solve_simple_cross_structure_iterative(
+                CROSS_LINK_RATE_THRESHOLD, tag_mode, rebuild=rebuild_long)
+        if libs:
+            graph.lib, graph.pairs = libs[-1], mapped[-1]
+            graph.min_link = min_link_phase
+            graph.solve_cross_all_libraries_iterative("link", sources,
+                                                      read_records)
+            graph.min_link = min_link
+            graph.solve_cross_all_libraries_iterative(tag_mode, sources,
+                                                      read_records)
+
+        # --- gapped cross solving (solveDBG.cpp:349-417)
+        for iteration in range(2):
+            for li, lib in enumerate(libs):
+                graph.lib, graph.pairs = lib, mapped[li]
+                graph.min_link = (min_link_phase if iteration == 0
+                                  else min_link)
+                for tf in range(MIN_TOL_FACTOR, MAX_TOL_FACTOR + 1):
+                    graph.tolerence = int(tf * min(
+                        lib.sd_insert, 0.1 * lib.average_insert))
+                    graph.trim_sparse_end()
+                    rebuild_pe()
+                    if iteration > 0:
+                        while graph.join_unambiguous_node_pair_gapped():
+                            rebuild_pe()
+                    while graph.solve_simple_gapped_cross_structure(
+                            CROSS_LINK_RATE_THRESHOLD, "link"):
+                        rebuild_pe()
+                    if graph.contig_tag is not None:
+                        while graph.solve_simple_gapped_cross_structure(
+                                CROSS_LINK_RATE_THRESHOLD, "tag"):
+                            rebuild_pe()
+            if read_records:
+                graph.tolerence = 2 * max_k
+                graph.min_link = (min_link_phase if iteration == 0
+                                  else min_link)
+                graph.trim_sparse_end()
+                rebuild_long()
+                while graph.solve_simple_gapped_cross_structure(
+                        CROSS_SCORE_RATE_THRESHOLD, "score"):
+                    rebuild_long()
+            if libs:
+                graph.lib, graph.pairs = libs[-1], mapped[-1]
+                if iteration > 0:
+                    graph.min_link = min_link
+                    graph.join_unambiguous_node_pair_gapped_iterative_all_libraries(
+                        sources, read_records)
+                graph.trim_sparse_end()
+                graph.solve_cross_all_libraries_iterative(
+                    "link", sources, read_records, gapped=True)
+
+        # --- bubble divisions (solveDBG.cpp:419-426)
+        graph.trim_sparse_end()
+        bb.divide_node_using_bubble_contig_pair(graph)
+        if libs:
+            divide_erroneous_node(graph, libs, mapped, min_link)
+        bb.divide_node_based_on_bubbles_iterative(graph, True)
+        bb.divide_bubble_contig_in_non_hetero_node(graph)
+        bb.divide_bubble_junction_node(graph, False)
+
+        # --- bubble-aware phase scaffolding (solveDBG.cpp:428-478)
+        graph.min_overlap = args.v
+        for iteration in range(2):
+            for li, lib in enumerate(libs):
+                graph.lib, graph.pairs = lib, mapped[li]
+                link_threshold = (min_link if iteration == 0
+                                  else max(min_link, graph.estimate_link()))
+                for tf in range(MIN_TOL_FACTOR, MAX_TOL_FACTOR + 1):
+                    graph.tolerence = int(tf * min(
+                        lib.sd_insert, 0.1 * lib.average_insert))
+                    graph.trim_sparse_end()
+                    graph.min_link = link_threshold
+                    rebuild_pe()
+                    graph.delete_repeat_edge()
+                    graph.detect_repeat(graph.hetero_coverage)
+                    graph.make_scaffold()
+                    while graph.join_unambiguous_node_pair_gapped():
+                        rebuild_pe()
+                    graph.min_link = min_link
+                    while graph.solve_simple_gapped_cross_structure(
+                            CROSS_LINK_RATE_THRESHOLD, "link"):
+                        rebuild_pe()
+                    graph.min_link = link_threshold
+                    rebuild_pe()
+                    graph.delete_erroneous_edge_num_tag_rate_iterative()
+                    bb.delete_different_bubble_edge_iterative(graph)
+                    graph.delete_repeat_edge()
+                    graph.detect_repeat(graph.hetero_coverage)
+                    graph.make_scaffold()
+            if libs:
+                graph.lib, graph.pairs = libs[0], mapped[0]
+                if outer < 2:
+                    divide_erroneous_node(graph, libs, mapped, min_link,
+                                          mode="gap", max_gap_size=max_k)
+                else:
+                    divide_erroneous_node(graph, libs, mapped, min_link)
+        graph.min_overlap = max_k - 1
+
+        # --- long-read phase scaffolding (solveDBG.cpp:537-586, condensed)
+        if read_records:
+            graph.min_overlap = args.v
+            bb.divide_node_using_bubble_contig_pair(graph)
+            graph.tolerence = 2 * max_k
+            graph.min_link = min_link
+            rebuild_long()
+            graph.delete_erroneous_edge_iterative()
+            graph.delete_repeat_edge()
+            graph.detect_repeat(graph.hetero_coverage)
+            graph.make_scaffold()
+            rebuild_long()
+            graph.delete_erroneous_edge_num_tag_rate_iterative()
+            bb.delete_different_bubble_edge_iterative(graph)
+            graph.delete_repeat_edge()
+            graph.detect_repeat(graph.hetero_coverage)
+            graph.make_scaffold()
+            graph.min_overlap = max_k - 1
+
+        # --- end-of-round divisions (solveDBG.cpp:588-599)
+        graph.trim_sparse_end()
+        bb.divide_node_based_on_bubbles_iterative(graph, True)
+        bb.divide_bubble_junction_node(graph, True)
+        if libs:
+            divide_erroneous_node(graph, libs, mapped, min_link)
+        bb.divide_node_based_on_bubbles_iterative(graph, True)
+        if outer < 2:
+            join_unambiguous_overlaps(graph)
+            graph.divide_gapped_node((outer + 1) * max_k)
+
+    # --- final phase separation (solveDBG.cpp:601-637)
+    bb.divide_bubble_contig_in_non_hetero_node(graph)
+    if libs:
+        graph.lib, graph.pairs = libs[-1], mapped[-1]
+        graph.min_link = min_link
+        rebuild_pe()
+    bb.adjust_opposite_bubble_node_id_direction(graph)
+    snapshot = bb.copy_all_nodes(graph)
+    bb.delete_secondary_bubble_node_and_edge(graph)
+    graph.make_scaffold()
+    extend_consensus(graph, libs, mapped, read_records, avg_long_len,
+                     max_k, min_link, args.v)
+    graph.tolerence = (int(MAX_TOL_FACTOR * libs[-1].sd_insert) if libs
+                       else max_k)
+    results = graph.load_result_seq(max_k, read_len, max_k, False)
+    fa.write_fasta(args.o + "_preliminaryConsensusScaffold.fa",
+                   [(r.name, fa.codes_to_seq(r.seq)) for r in results])
+
+    bb.remake_graph_recovering_secondary_bubble(graph, snapshot)
+    if libs:
+        rebuild_pe()
+    bb.divide_node_based_on_bubbles_iterative(graph, False)
+    if libs:
+        rebuild_pe()
+    # recompute pairing/states on the recovered graph, THEN re-sign the
+    # opposite ids by end-contig strand (adjust last — it refines the
+    # state pass's unsigned ids, solveDBG.cpp:622-626)
+    bb.set_opposite_bubble_node_id_and_state_for_each_node(graph)
+    bb.adjust_opposite_bubble_node_id_direction(graph)
+    results = graph.load_result_seq(max_k, read_len, max_k,
+                                    args.trim_overlap)
+    if args.reduce_redundancy:
+        mark_redundant_result_seq(results)
+    suffixes = ("_primaryBubble.fa", "_secondaryBubble.fa",
+                "_nonBubbleHetero.fa", "_nonBubbleOther.fa",
+                "_bubbleRelation.tsv")
+    # graph-tracked pairing first (outputResultSeqWithBubble semantics),
+    # then a post-hoc containment-alignment fallback pairs leftover
+    # haplotigs that never acquired graph links (HeteroMapper mergeBubble
+    # analogue — strictly additive over the reference's classification)
+    paired, hetero_recs, _other, leftovers = bb.classify_result_nodes(
+        graph, results)
+    from ..models.phasing import (PhaseBlock, classify_phase_blocks,
+                                  write_phase_outputs)
+    leftover_results = [r for r, _cov in leftovers]
+    pairs, hetero_ids, other_ids, blocks = classify_phase_blocks(
+        leftover_results, [], graph.average_coverage,
+        hetero_coverage=graph.hetero_coverage)
+    for r, cov in hetero_recs:
+        blocks.append(PhaseBlock(seq=r.seq, coverage=cov, source=-2,
+                                 secondary=True))
+        hetero_ids.append(len(blocks) - 1)
+    for r, cov, alt_seq, alt_cov in reversed(paired):
+        blocks.append(PhaseBlock(seq=r.seq, coverage=cov, source=-2))
+        blocks.append(PhaseBlock(seq=alt_seq, coverage=alt_cov, source=-2,
                                  secondary=True))
         pairs.insert(0, (len(blocks) - 2, len(blocks) - 1))
     write_phase_outputs(args.o, pairs, hetero_ids, other_ids, blocks,

@@ -17,9 +17,11 @@ Python over in-memory arrays.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -248,21 +250,24 @@ def extended_unitig_sequences(dbg: DBG, diff: int) -> tuple[list[np.ndarray], np
     so = np.asarray(succ_orient)
     od = np.asarray(outdeg)
     isj = np.asarray(is_junction)
-    keys_np = None  # lazy
 
-    from ..ops.kmer import kmer_to_codes
-    from ..ops.multiword import revcomp as mw_revcomp
+    from ..ops.multiword import pack_kmer_np, unpack_kmer_np
 
     k = dbg.k
-    n_nodes = dbg.keys.shape[0]
+    # junction keys: pull ONLY the junction rows to host (a handful of
+    # rows) and unpack there — materializing kmer_to_codes over the whole
+    # key table (both strands) cost ~2 N*k byte arrays of device->host
+    # traffic per k step, which dominated end-to-end assemble wall clock
+    jidx = np.flatnonzero(isj)
+    jkeys = np.asarray(dbg.keys[jnp.asarray(jidx)]) if len(jidx) else \
+        np.zeros((0, dbg.keys.shape[1]), np.uint32)
+    jrow = {int(j): i for i, j in enumerate(jidx)}
 
     def junction_codes(j, orient):
-        nonlocal keys_np
-        if keys_np is None:
-            fwd = np.asarray(kmer_to_codes(dbg.keys, k))
-            rev = np.asarray(kmer_to_codes(mw_revcomp(dbg.keys, k), k))
-            keys_np = (fwd, rev)
-        return keys_np[orient][j]
+        fwd = unpack_kmer_np(jkeys[jrow[int(j)]], k)
+        if orient == 0:
+            return fwd
+        return (3 - fwd)[::-1].astype(np.uint8)
 
     def unitig_oriented_seq(uid2, end_node, end_orient):
         """Unitig uid2's bases oriented so that (end_node, end_orient) is its
@@ -328,10 +333,31 @@ def extended_unitig_sequences(dbg: DBG, diff: int) -> tuple[list[np.ndarray], np
     return ext_seqs, u.ucov
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _contig_kmer_group(mat: jnp.ndarray, occv: jnp.ndarray, k: int):
+    """Jitted: canonical k-mers of padded contig rows with per-row
+    occurrence values, sorted + max-deduped."""
+    keys, valid = extract_canonical_kmers(mat, k)
+    W = keys.shape[-1]
+    flat = keys.reshape(-1, W)
+    vals = jnp.broadcast_to(occv[:, None], valid.shape).reshape(-1)
+    skeys, svals = cnt.sort_by_key(flat, vals)
+    return cnt.dedup_max(skeys, svals)
+
+
 def save_contig_next_k(dbg: DBG, next_k: int, occurrence_ratio: float) -> KmerTable:
     """Contig-derived next-k occurrence table (graph.h:1655-1771): all
     next_k-mers of the extended unitig sequences, occurrence =
-    u16(cov * ratio + 0.5), max-merged across unitigs."""
+    u16(cov * ratio + 0.5), max-merged across unitigs.
+
+    Unitigs are processed in LENGTH BUCKETS (columns padded to the
+    bucket's power-of-two, not the global max): padding every row to the
+    longest contig exploded the window count ~rows x lmax and exhausted
+    HBM at late k steps. Each bucket's window capacity is bounded by a
+    row budget and buckets fold through a max-rule accumulator.
+    """
+    from ..ops.padding import next_pow2
+
     diff = next_k - dbg.k
     ext_seqs, ucov = extended_unitig_sequences(dbg, diff)
     occs = np.minimum((ucov * occurrence_ratio + 0.5).astype(np.uint32),
@@ -340,22 +366,32 @@ def save_contig_next_k(dbg: DBG, next_k: int, occurrence_ratio: float) -> KmerTa
     if not keep:
         return KmerTable(next_k, np.zeros((0, num_words(next_k)), np.uint32),
                          np.zeros((0,), np.uint32))
-    from ..ops.padding import next_pow2
-    lmax = -(-max(len(ext_seqs[i]) for i in keep) // 32) * 32
-    rows = next_pow2(len(keep), minimum=64)
-    mat = np.full((rows, lmax), 4, dtype=np.uint8)
-    occv = np.zeros((rows,), np.uint32)
-    for r, i in enumerate(keep):
-        mat[r, : len(ext_seqs[i])] = ext_seqs[i]
-        occv[r] = occs[i]
-    keys, valid = extract_canonical_kmers(jnp.asarray(mat), next_k)
-    W = keys.shape[-1]
-    flat = keys.reshape(-1, W)
-    vals = jnp.broadcast_to(jnp.asarray(occv)[:, None],
-                            valid.shape).reshape(-1)
-    skeys, svals = cnt.sort_by_key(flat, vals)
-    ukeys, uvals, n = cnt.dedup_max(skeys, svals)
-    kh, vh = cnt.compact_host(ukeys, uvals, n)
+    W = num_words(next_k)
+    acc = cnt.TableAccumulator(W, rule="max")
+    BUDGET_WINDOWS = 16 << 20
+    # group by padded length bucket (pow2 columns >= 64)
+    keep.sort(key=lambda i: len(ext_seqs[i]))
+    pos = 0
+    while pos < len(keep):
+        blen = next_pow2(len(ext_seqs[keep[pos]]), minimum=64)
+        group = []
+        while pos < len(keep) and len(ext_seqs[keep[pos]]) <= blen:
+            group.append(keep[pos])
+            pos += 1
+            if len(group) * blen >= BUDGET_WINDOWS:
+                break
+        rows = next_pow2(len(group), minimum=8)
+        mat = np.full((rows, blen), 4, dtype=np.uint8)
+        occv = np.zeros((rows,), np.uint32)
+        for r, i in enumerate(group):
+            mat[r, : len(ext_seqs[i])] = ext_seqs[i]
+            occv[r] = occs[i]
+        uk, uv, n = _contig_kmer_group(jnp.asarray(mat),
+                                       jnp.asarray(occv), next_k)
+        acc.add(uk, uv, int(n))
+    uk, uv, n = acc.result()
+    kh = np.asarray(uk[:n])
+    vh = np.asarray(uv[:n]).astype(np.uint32)
     return KmerTable(next_k, kh, vh)
 
 
@@ -561,8 +597,17 @@ class AssembleResult:
 
 
 def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
+    from ..parallel import multihost as mh
+
     total_bases = sum(b.total_bases for b in batches)
     total_reads = sum(b.num_reads for b in batches)
+    if mh.process_count() > 1:
+        # every host sees only its DCN ingest slice; the read-length
+        # statistic (which fixes the k schedule) must come from GLOBAL
+        # totals or hosts diverge on collectives
+        tb, tr = mh.psum_histogram(np.asarray([total_bases, total_reads],
+                                              np.int64))
+        total_bases, total_reads = int(tb), int(tr)
     average_length = total_bases / max(total_reads, 1)
 
     # ---- initial k counting (initialKmerAssemble, assemble.cpp:303-386)
@@ -588,6 +633,19 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
         else:
             dev_keys, dev_counts, dev_n, hist = count_reads_device(
                 batches, k0)
+    if mh.process_count() > 1:
+        # merge the per-host tables into the identical global table on
+        # every host BEFORE deriving the cutoff/average (each host counted
+        # only its ingest slice); the histogram recomputes from the merged
+        # counts, which is equivalent to a cross-host histogram psum
+        keys_h = np.asarray(dev_keys[:dev_n])
+        counts_h = np.asarray(dev_counts[:dev_n])
+        keys_h, counts_h = mh.global_count_merge(keys_h, counts_h)
+        from ..ops.padding import pad_pow2
+        dev_keys = jnp.asarray(pad_pow2(keys_h, np.uint32(0xFFFFFFFF)))
+        dev_counts = jnp.asarray(pad_pow2(counts_h.astype(np.uint32), 0))
+        dev_n = len(keys_h)
+        hist = np.asarray(cnt.occurrence_histogram(dev_counts))
     hist0 = hist
 
     cutoff0 = cnt.coverage_cutoff(hist, manual=opts.manual_cutoff,

@@ -583,12 +583,14 @@ def _fill_majority_id_run(ids: list[int], node_lengths: np.ndarray,
         if ids[i] == max_id:
             hi = i + 1
             break
-    # prefix-score trims (reference keeps the minimal-score cut points)
+    # prefix-score trims — exact fillMajorityIDRun recurrence
+    # (pairedDBG.cpp:2987-3021): maxScore stays 0, so a positive running
+    # score clamps back to 0 and records the cut position
     score = max_score = 0
     cut = lo
     for i in range(lo, hi):
         if score > max_score:
-            max_score = score
+            score = max_score
             cut = i
         if ids[i] != 0:
             if ids[i] == max_id:
@@ -600,7 +602,7 @@ def _fill_majority_id_run(ids: list[int], node_lengths: np.ndarray,
     cut = hi - 1
     for i in range(hi - 1, lo, -1):
         if score > max_score:
-            max_score = score
+            score = max_score
             cut = i
         if ids[i] != 0:
             if ids[i] == max_id:

@@ -53,6 +53,14 @@ MIN_GAP_LENGTH = 10
 MIN_OVERLAP_TO_JOIN = 32
 # scaffoldGraph.cpp:48
 MIN_NUM_MAPPED_TAG = 3
+# pairedDBG.cpp:60,64-65
+MAX_ITERATION_OF_CROSS_SOLUTION = 5
+CROSS_LINK_RATE_THRESHOLD = 0.25
+CROSS_SCORE_RATE_THRESHOLD = 0.5
+# contig-level bubble state flags (pairedDBG.h DBG_CONTIG_*)
+DBG_CONTIG_PRIMARY_BUBBLE = 0x1
+DBG_CONTIG_SECONDARY_BUBBLE = 0x2
+DBG_CONTIG_BUBBLE_JUNCTION = 0x4
 
 
 @dataclass
@@ -134,6 +142,14 @@ class ScaffoldGraph:
         # crushed (secondary codes, primary rep contig index 1-based)
         # pairs — bubbleFP/bubbleOpositeFP channel
         self.bubble_pairs: list = []
+        # contigState (pairedDBG.h): DBG_CONTIG_* flags per contig
+        self.contig_state = np.zeros(self.num_contig, dtype=np.int64)
+        # joinedBubbleContigID (pairedDBG.cpp:3412-3489): per contig, the
+        # [left, right] neighbor contig ids joined across bubble junctions
+        self.joined_bubble_contig_id = np.zeros((self.num_contig, 2),
+                                                dtype=np.int64)
+        # contigMaxK (_maxK header field); set by drivers that know it
+        self.contig_max_k = hash_overlap
 
     # -- node coverage (calcNodeCoverage: length-weighted contig coverage) --
     def node_coverage(self, n: GraphNode) -> float:
@@ -183,6 +199,39 @@ class ScaffoldGraph:
             if not (right > 3).any():
                 self._overlap_from_end(i, right, postings(right), is_left=False,
                                        cutoff_length=cutoff_length)
+
+        # exact SHORT overlaps (min_overlap <= ov < key), which the
+        # key-length seed map cannot see — notably the canonical maxK-1
+        # de-Bruijn overlaps (getShortOverlap semantics,
+        # scaffoldGraph.cpp:284-325, tabulated so getOverlappedNode /
+        # bubble scans observe them)
+        for ov in range(self.min_overlap, key):
+            heads: dict[bytes, list[int]] = {}
+            for j, t in enumerate(self.contig):
+                if len(t) < cutoff_length or len(t) < ov:
+                    continue
+                p = t[:ov]
+                if not (p > 3).any():
+                    heads.setdefault(p.tobytes(), []).append(j + 1)
+                rp = _rc_np(t[len(t) - ov:])
+                if not (rp > 3).any():
+                    heads.setdefault(rp.tobytes(), []).append(-(j + 1))
+            for i, c in enumerate(self.contig):
+                if len(c) < cutoff_length or len(c) < ov:
+                    continue
+                s = c[len(c) - ov:]
+                if (s > 3).any():
+                    continue
+                for pid in heads.get(s.tobytes(), ()):
+                    j = abs(pid) - 1
+                    if j == i:
+                        continue
+                    if j > i:
+                        k2 = (i + 1, pid)
+                    else:
+                        k2 = (-pid, -(i + 1))
+                    self.overlap_table[k2] = max(
+                        self.overlap_table.get(k2, 0), ov)
 
     def _overlap_from_end(self, i, kmer, posts, is_left, cutoff_length):
         key = len(kmer)
@@ -747,6 +796,26 @@ class ScaffoldGraph:
         return sum(e.num_link for e in self.node[abs(id1) - 1].edges
                    if abs(e.end) == abs(id2))
 
+    def _score_between(self, id1: int, id2: int) -> int:
+        """getScoreFromIDPair (pairedDBG.cpp:6140-6156): the long-read
+        alignment score on the edge leaving id1 toward id2 with matching
+        direction and relative strand."""
+        d = 1 if id1 > 0 else -1
+        strand = d * (1 if id2 > 0 else -1)
+        for e in self.node[abs(id1) - 1].edges:
+            if (abs(e.end) == abs(id2) and e.direction == d
+                    and (1 if e.end > 0 else -1) == strand):
+                return e.score
+        return 0
+
+    def _haplotype_evidence(self, id1: int, id2: int, resolution: str,
+                            node_tags) -> int:
+        if resolution == "score":
+            return self._score_between(id1, id2)
+        if node_tags is not None:
+            return self.get_common_tag(id1, id2, node_tags)
+        return self._num_link_between(id1, id2)
+
     def solve_simple_cross_structure(self, link_rate_threshold: float = 0.25,
                                      resolution: str = "link") -> int:
         """Split high-coverage cross nodes (2 overlap-neighbors each side,
@@ -796,12 +865,8 @@ class ScaffoldGraph:
             s = [0, 0]   # s[1]: same-index pairing, s[0]: cross pairing
             for li in range(2):
                 for ri in range(2):
-                    if node_tags is not None:
-                        ev = self.get_common_tag(ext[0][li], ext[1][ri],
-                                                 node_tags)
-                    else:
-                        ev = self._num_link_between(ext[0][li], ext[1][ri])
-                    s[li == ri] += ev
+                    s[li == ri] += self._haplotype_evidence(
+                        ext[0][li], ext[1][ri], resolution, node_tags)
             if resolution in ("link", "tag") and max(s) < self.min_link:
                 continue
             if link_rate_threshold * s[0] >= s[1]:
@@ -934,13 +999,8 @@ class ScaffoldGraph:
             s = [0, 0]
             for li in range(2):
                 for ri in range(2):
-                    if node_tags is not None:
-                        ev = self.get_common_tag(ext[0][li][0],
-                                                 ext[1][ri][0], node_tags)
-                    else:
-                        ev = self._num_link_between(ext[0][li][0],
-                                                    ext[1][ri][0])
-                    s[li == ri] += ev
+                    s[li == ri] += self._haplotype_evidence(
+                        ext[0][li][0], ext[1][ri][0], resolution, node_tags)
             if resolution in ("link", "tag") and max(s) < self.min_link:
                 continue
             if link_rate_threshold * s[0] >= s[1]:
@@ -1026,6 +1086,180 @@ class ScaffoldGraph:
         self._remake(new_nodes)
         LOG.counter("NUM_JOINED_GAPPED_PAIRS", len(chains))
         return len(chains)
+
+    # ------------------------------------------------------------------
+    # shared node-splitting tail of the reference's divide*/trim* passes
+    # (e.g. pairedDBG.cpp:2754-2790): split nodes at breakpoint flags,
+    # keep a piece only if it contains a contig not yet emitted
+    # (uniqueFlag), remake
+    # ------------------------------------------------------------------
+    def split_nodes_at_breakpoints(self, bp: list[np.ndarray],
+                                   extra_nodes: list | None = None) -> None:
+        num_used = np.zeros(self.num_contig, dtype=np.int64)
+        new_nodes: list[list] = []
+        for ni, n in enumerate(self.node):
+            if n.state & SC_DEL or not n.contigs:
+                continue
+            contigs = n.contigs
+            flags = bp[ni]
+            i = 0
+            while i < len(contigs):
+                j = i
+                while not flags[i + 1]:
+                    i += 1
+                i += 1
+                piece = contigs[j:i]
+                if any(num_used[abs(cid) - 1] == 0 for cid, _s, _e in piece):
+                    base = piece[0][1]
+                    new_nodes.append([(cid, st - base, ed - base)
+                                      for cid, st, ed in piece])
+                    for cid, _s, _e in piece:
+                        num_used[abs(cid) - 1] += 1
+        if extra_nodes:
+            new_nodes.extend(extra_nodes)
+        self._remake(new_nodes)
+
+    def _blank_breakpoints(self, ends_flagged: bool = True) -> list[np.ndarray]:
+        bp = [np.zeros(len(n.contigs) + 1, dtype=bool) for n in self.node]
+        for f in bp:
+            if ends_flagged:
+                f[0] = True
+            f[-1] = True
+        return bp
+
+    def trim_sparse_end(self) -> None:
+        """trimSparseEnd (pairedDBG.cpp:3745-3810): cut off a terminal
+        contig whose gap to the rest exceeds its own length."""
+        LOG.info("trimming sparse ends of scaffolds...")
+        bp = self._blank_breakpoints(ends_flagged=False)
+        for ni, n in enumerate(self.node):
+            c = n.contigs
+            if len(c) > 1:
+                if c[1][1] - c[0][2] > c[0][2] - c[0][1]:
+                    bp[ni][1] = True
+                if c[-1][1] - c[-2][2] > c[-1][2] - c[-1][1]:
+                    bp[ni][len(c) - 2] = True
+        self.split_nodes_at_breakpoints(bp)
+
+    def divide_gapped_node(self, min_gap_size: int) -> None:
+        """divideGappedNode (pairedDBG.cpp:3678-3744): split scaffolds at
+        gaps longer than min_gap_size."""
+        LOG.info("dividing scaffolds at gaps...")
+        bp = self._blank_breakpoints(ends_flagged=False)
+        for ni, n in enumerate(self.node):
+            c = n.contigs
+            for i in range(1, len(c)):
+                if c[i][1] - c[i - 1][2] > min_gap_size:
+                    bp[ni][i] = True
+        self.split_nodes_at_breakpoints(bp)
+
+    def delete_long_edge(self, max_edge_length: int) -> None:
+        """deleteLongEdge (pairedDBG.cpp:4437-4456): drop edges whose
+        estimated gap exceeds max_edge_length."""
+        ids = []
+        for ni, n in enumerate(self.node):
+            for e in n.edges:
+                if e.length > max_edge_length:
+                    ids.append((ni + 1, e.end))
+        self.delete_edges(ids)
+
+    # ------------------------------------------------------------------
+    # all-library pooled graph (makeGraphAllLibraries, pairedDBG.cpp:674)
+    # ------------------------------------------------------------------
+    def make_graph_all_libraries(self, sources: list, read_records=None) -> None:
+        """Build edges pooling PE links of every library in `sources`
+        [(lib, pairs), ...] plus long-read links (with scores). Matches
+        makeGraphAllLibraries' edge merge: numLink summed across
+        libraries, gap link-weighted, scores from the long-read channel."""
+        LOG.info("constructing graph using all libraries simultaneously")
+        keep_lib, keep_pairs = self.lib, self.pairs
+        acc: dict[tuple, list] = {}
+
+        def fold(links, score_col: bool):
+            if len(links) == 0:
+                return
+            order = np.lexsort((links[:, 4], links[:, 2], links[:, 0]))
+            links = links[order]
+            keys = links[:, [0, 2]]
+            new_grp = np.ones(len(links), dtype=bool)
+            new_grp[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+            starts = np.nonzero(new_grp)[0]
+            ends = np.append(starts[1:], len(links))
+            for s, e in zip(starts, ends):
+                id1, id2 = int(links[s, 0]), int(links[s, 2])
+                ent = acc.setdefault((id1, id2), [0, 0, 0])
+                ent[0] += int(e - s)                  # numLink
+                ent[1] += int(links[s:e, 4].sum())    # gap * links
+                if score_col:
+                    ent[2] += int(links[s:e, 5].sum())
+
+        for lib, pairs in sources:
+            self.lib, self.pairs = lib, pairs
+            fold(self.store_links(), False)
+        if read_records is not None:
+            fold(self.store_links_long(read_records), True)
+        self.lib, self.pairs = keep_lib, keep_pairs
+
+        for n in self.node:
+            n.edges = []
+        for (id1, id2), (num_link, gap_sum, score) in acc.items():
+            if num_link < self.min_link:
+                continue
+            gap = int(math.floor(gap_sum / num_link + 0.5))
+            i, j = abs(id1) - 1, abs(id2) - 1
+            d1 = 1 if id1 > 0 else -1
+            d2 = 1 if -id2 > 0 else -1
+            end1 = (j + 1) if id1 * id2 > 0 else -(j + 1)
+            end2 = (i + 1) if id1 * id2 > 0 else -(i + 1)
+            self.node[i].edges.append(GraphEdge(d1, end1, gap, num_link,
+                                                None, score))
+            self.node[j].edges.append(GraphEdge(d2, end2, gap, num_link,
+                                                None, score))
+        for n in self.node:
+            n.edges.sort(key=lambda e: (e.direction, e.end))
+
+    def solve_cross_all_libraries_iterative(self, resolution: str,
+                                            sources: list, read_records=None,
+                                            gapped: bool = False) -> int:
+        """solveSimpleCrossStructureAllLibrariesIterative /
+        solveSimpleGappedCrossStructureAllLibrariesIterative
+        (pairedDBG.cpp:2433-2460,2475-2510): rebuild the pooled graph each
+        round, resolve crosses, stop at fixed point or 5 iterations."""
+        total = 0
+        for _ in range(MAX_ITERATION_OF_CROSS_SOLUTION):
+            # the reference builds the pooled graph at minLink=1 and gates
+            # only inside the solver (setMinLink dance, pairedDBG.cpp:2440)
+            cur = self.min_link
+            self.min_link = 1
+            self.make_graph_all_libraries(sources, read_records)
+            self.min_link = cur
+            if gapped:
+                thr = (CROSS_SCORE_RATE_THRESHOLD if resolution == "score"
+                       else CROSS_LINK_RATE_THRESHOLD)
+                n = self.solve_simple_gapped_cross_structure(thr, resolution)
+            else:
+                n = self.solve_simple_cross_structure(
+                    CROSS_LINK_RATE_THRESHOLD, resolution)
+            total += n
+            if n == 0:
+                break
+        return total
+
+    def join_unambiguous_node_pair_gapped_iterative_all_libraries(
+            self, sources: list, read_records=None) -> int:
+        """joinUnambiguousNodePairGappedIterativeAllLibraries
+        (pairedDBG.cpp:2590-2612)."""
+        total = 0
+        while True:
+            cur = self.min_link
+            self.min_link = 1
+            self.make_graph_all_libraries(sources, read_records)
+            self.min_link = cur
+            n = self.join_unambiguous_node_pair_gapped()
+            total += n
+            if n == 0:
+                break
+        return total
 
     def delete_repeat_edge(self) -> None:
         """deleteRepeatEdge (scaffoldGraph.cpp:1148-1190): when two

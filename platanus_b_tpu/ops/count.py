@@ -201,13 +201,21 @@ def _sort_dedup(keys, counts):
     return dedup_sum(skeys, scounts)
 
 
-def fold_tables(tables):
-    """Merge N unique-count tables in one concat + sort + segment-sum.
+@jax.jit
+def _sort_dedup_max(keys, vals):
+    skeys, svals = sort_by_key(keys, vals)
+    return dedup_max(skeys, svals)
+
+
+def fold_tables(tables, rule: str = "sum"):
+    """Merge N unique-count tables in one concat + sort + segment-reduce.
 
     tables: list of (keys (cap, W), counts (cap,), n int) device triples.
     Each table is sliced to its live rows, the concat is padded to a
     power-of-two capacity (bounded jit recompiles), and a single sort +
-    segment-sum dedups. Returns the same triple form, capacity-trimmed.
+    segment reduce dedups — summing counts (rule='sum') or keeping the
+    max (rule='max', the saveContig next-k merge rule, graph.h:1760-1765).
+    Returns the same triple form, capacity-trimmed.
     """
     if len(tables) == 1:
         return tables[0]
@@ -222,7 +230,8 @@ def fold_tables(tables):
         parts_c.append(jnp.zeros((cap - total,), jnp.uint32))
     keys = jnp.concatenate(parts_k, axis=0)
     counts = jnp.concatenate(parts_c, axis=0)
-    uk, uc, un = _sort_dedup(keys, counts)
+    reduce = _sort_dedup if rule == "sum" else _sort_dedup_max
+    uk, uc, un = reduce(keys, counts)
     n = int(un)
     c = min(next_pow2(max(n, 1)), uk.shape[0])
     return uk[:c], uc[:c], n
@@ -241,11 +250,13 @@ class TableAccumulator:
     spill passes (counter.h:341-364).
     """
 
-    def __init__(self, W: int, budget_rows: int | None = None):
+    def __init__(self, W: int, budget_rows: int | None = None,
+                 rule: str = "sum"):
         self.W = W
         # working-set cap: rows * (W+1) u32 words * ~2x sort in+out
         self.budget_rows = budget_rows or max((3 << 28) // ((W + 1) * 8),
                                               1 << 20)
+        self.rule = rule
         self.acc = None
         self.parked: list[tuple] = []
         self.parked_rows = 0
@@ -262,7 +273,7 @@ class TableAccumulator:
 
     def _flush(self) -> None:
         tables = ([self.acc] if self.acc is not None else []) + self.parked
-        self.acc = fold_tables(tables)
+        self.acc = fold_tables(tables, self.rule)
         self.parked = []
         self.parked_rows = 0
 

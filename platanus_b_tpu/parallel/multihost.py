@@ -113,6 +113,22 @@ def host_read_plan(paths: Sequence[str], min_chunk: int = 64 << 20,
     return plan
 
 
+def _ragged_allgather(x: np.ndarray) -> list[np.ndarray]:
+    """process_allgather for arrays whose ROW COUNT differs per host:
+    gather the row counts first (fixed shape), pad rows to the global max,
+    gather, then trim each host's slice back. process_allgather itself
+    requires identical shapes on every process."""
+    from jax.experimental import multihost_utils
+    x = np.asarray(x)
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.asarray([x.shape[0]], np.int64))).reshape(-1)
+    n_max = int(lens.max())
+    pad_shape = (n_max - x.shape[0],) + x.shape[1:]
+    padded = np.concatenate([x, np.zeros(pad_shape, x.dtype)], axis=0)
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [gathered[h, : int(lens[h])] for h in range(len(lens))]
+
+
 def host0_gather(x: np.ndarray) -> np.ndarray | None:
     """Concatenate per-host arrays on host 0 (None elsewhere).
 
@@ -121,9 +137,7 @@ def host0_gather(x: np.ndarray) -> np.ndarray | None:
     """
     if process_count() == 1:
         return np.asarray(x)
-    from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(np.asarray(x))
-    out = np.concatenate(list(gathered), axis=0)
+    out = np.concatenate(_ragged_allgather(x), axis=0)
     return out if process_index() == 0 else None
 
 
@@ -131,9 +145,7 @@ def all_hosts_concat(x: np.ndarray) -> np.ndarray:
     """Concatenation of every host's rows, replicated to all hosts."""
     if process_count() == 1:
         return np.asarray(x)
-    from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(np.asarray(x))
-    return np.concatenate(list(gathered), axis=0)
+    return np.concatenate(_ragged_allgather(x), axis=0)
 
 
 def broadcast_from_host0(x: np.ndarray) -> np.ndarray:
@@ -171,6 +183,75 @@ def global_count_merge(keys: np.ndarray, counts: np.ndarray,
     starts = np.flatnonzero(new_run)
     summed = np.add.reduceat(counts, starts)
     return keys[starts], np.minimum(summed, max_occurrence).astype(np.uint32)
+
+
+def shard_range_of(keys: np.ndarray, count: int | None = None,
+                   k: int | None = None) -> np.ndarray:
+    """Destination host of each (sorted-key) row: contiguous key ranges by
+    the top key word, so every shard is a sorted slice of the global table
+    and shards concatenate (in host order) into the full sorted table.
+    `k` (the k-mer length) fixes the used bit width of word 0 — for
+    k < 16 the value occupies fewer than 32 bits and must be left-aligned
+    before range splitting."""
+    n = process_count() if count is None else count
+    top = np.asarray(keys)[:, 0].astype(np.uint64)
+    used = 32 if k is None else min(2 * k, 32)
+    top = top << np.uint64(32 - used)
+    return (top * np.uint64(n) >> np.uint64(32)).astype(np.int64)
+
+
+def global_count_merge_sharded(keys: np.ndarray, counts: np.ndarray,
+                               max_occurrence: int = 0xFFFF - 1,
+                               index: int | None = None,
+                               count: int | None = None,
+                               k: int | None = None
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """Key-range-sharded cross-host merge: this host ends up with ONLY its
+    contiguous key-range shard of the global table (SURVEY §2.10 row 2 —
+    the scalable form; `global_count_merge` replicates instead).
+
+    The exchange runs as process_count() allgather rounds, one per
+    destination range: each round moves only that range's rows (~1/n of
+    the table), so per-host peak memory stays ~1/n of the global table
+    plus one range's concat — no host ever materializes the whole table.
+    Single-process: dedup-canonicalizes locally (identity key range).
+    """
+    keys = np.asarray(keys)
+    counts = np.asarray(counts, np.uint64)
+    i = process_index() if index is None else index
+    n = process_count() if count is None else count
+
+    def reduce_local(k, c):
+        if len(k) == 0:
+            return k, c.astype(np.uint32)
+        order = np.lexsort(tuple(k[:, w]
+                                 for w in range(k.shape[1] - 1, -1, -1)))
+        k, c = k[order], c[order]
+        new_run = np.empty(len(k), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (k[1:] != k[:-1]).any(axis=1)
+        starts = np.flatnonzero(new_run)
+        summed = np.add.reduceat(c, starts)
+        return k[starts], np.minimum(summed,
+                                     max_occurrence).astype(np.uint32)
+
+    if n == 1:
+        return reduce_local(keys, counts)
+    dest = shard_range_of(keys, n, k)
+    my_keys = my_counts = None
+    for d in range(n):
+        sel = dest == d
+        # ship a combined (rows, W+1) u64 payload; _ragged_allgather
+        # handles the per-host row-count mismatch
+        rows = np.concatenate([keys[sel].astype(np.uint64),
+                               counts[sel][:, None]], axis=1)
+        parts = _ragged_allgather(rows)
+        if d != i:
+            continue
+        allrows = np.concatenate(parts, axis=0)
+        my_keys = allrows[:, :-1].astype(keys.dtype)
+        my_counts = allrows[:, -1].astype(np.uint64)
+    return reduce_local(my_keys, my_counts)
 
 
 def psum_histogram(local: np.ndarray) -> np.ndarray:
