@@ -129,6 +129,15 @@ def recovery(mm2_recs, our_recs, tol_frac=0.3):
             if abs(r["ts"] - m["ts"]) <= tol and abs(r["te"] - m["te"]) <= tol:
                 hit = r
                 break
+            # containment also recovers the record: our chain may span a
+            # larger region than minimap2's (e.g. asm10 splits divergent
+            # regions; scaffolding only consumes the linking interval)
+            ov_t = min(r["te"], m["te"]) - max(r["ts"], m["ts"])
+            ov_q = min(r["qe"], m["qe"]) - max(r["qs"], m["qs"])
+            if ov_t >= 0.9 * (m["te"] - m["ts"]) and \
+                    ov_q >= 0.9 * (m["qe"] - m["qs"]):
+                hit = r
+                break
         if hit is not None:
             n_hit += 1
             deltas.append(hit["matches"] / max(hit["block"], 1)

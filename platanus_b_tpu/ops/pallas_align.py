@@ -81,12 +81,22 @@ def _bed_kernel(qlen_ref, tlen_ref, q_ref, t_ref, out_ref, d1_ref, d2_ref,
             lo_rows.append(lo)
             s1_rows.append(lo - lo1)
             s2_rows.append(lo - lo2)
-            qs = jnp.clip(lo, 0, wq - bw)
-            q_rows.append(q_ref[pl.ds(r, 1), pl.ds(qs, bw)])
+            # Mosaic requires lane-dim dynamic-slice starts provably
+            # 128-aligned: load an aligned (bw + 128)-wide window and
+            # rotate the residual offset away in-register (the buffers
+            # carry 128 extra padding columns so the widened load stays
+            # in bounds)
+            qs = jnp.clip(lo, 0, wq - bw - 128)
+            qs0 = pl.multiple_of((qs // 128) * 128, 128)
+            # dynamic rotate is 32-bit-only on Mosaic; widen for the roll
+            qwin = q_ref[pl.ds(r, 1), pl.ds(qs0, bw + 128)].astype(jnp.int32)
+            q_rows.append(pltpu.roll(qwin, -(qs - qs0), axis=1)[:, :bw])
             # reversed-target index of j = d - i at band cell 0 is
             # (tlen-1 - (d - lo)) + bw in the padded buffer, ascending in r
-            ts = jnp.clip(tlen_ref[r, 0] - 1 - d + lo + bw, 0, wt - bw)
-            t_rows.append(t_ref[pl.ds(r, 1), pl.ds(ts, bw)])
+            ts = jnp.clip(tlen_ref[r, 0] - 1 - d + lo + bw, 0, wt - bw - 128)
+            ts0 = pl.multiple_of((ts // 128) * 128, 128)
+            twin = t_ref[pl.ds(r, 1), pl.ds(ts0, bw + 128)].astype(jnp.int32)
+            t_rows.append(pltpu.roll(twin, -(ts - ts0), axis=1)[:, :bw])
         qv = jnp.concatenate(q_rows, axis=0)          # (PB, bw)
         tv = jnp.concatenate(t_rows, axis=0)
         lo_v = jnp.concatenate(
@@ -181,9 +191,10 @@ def banded_edit_distance(queries: list[np.ndarray], targets: list[np.ndarray],
         return np.zeros(0, np.int32)
     bw = max(128, -(-band // 128) * 128)
     B = -(-n // PB) * PB
-    wq = max(-(-max(len(q) for q in queries) // 128) * 128, 128) + bw
+    # +128: room for the kernel's aligned widened loads (see _bed_kernel)
+    wq = max(-(-max(len(q) for q in queries) // 128) * 128, 128) + bw + 128
     lt = max(len(t) for t in targets)
-    wt = -(-(lt + 2 * bw) // 128) * 128
+    wt = -(-(lt + 2 * bw) // 128) * 128 + 128
 
     q_mat = np.full((B, wq), 4, np.uint8)
     t_mat = np.full((B, wt), 4, np.uint8)
