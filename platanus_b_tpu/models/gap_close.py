@@ -151,225 +151,380 @@ def collect_gap_reads(gaps: list[Gap], scaffolds, ids, offs, pair_codes,
 # single-strand mini-DBG (makeBruijnGraphForGapClose, graph.h:2117-2344)
 # ---------------------------------------------------------------------------
 
-def _kmer_ints(seq: np.ndarray, k: int):
-    """Forward-strand k-mer python ints of one sequence (N windows
-    skipped). Vectorized via the batch path."""
-    u, c, per = _count_kmers_batch([seq], k, keep_order=True)
-    return per
-
-
-def _count_kmers_batch(seqs, k: int, keep_order: bool = False):
-    """Unique forward-strand k-mers (python ints) + counts over a read
-    set, one vectorized pass: reads are concatenated with N separators,
-    windows extracted via stride tricks, packed into ceil(k/32) u64 words,
-    and uniqued as structured rows. Per-base Python is eliminated
-    (countKmerForGapClose counterpart, counter.h:1016-1056).
-
-    keep_order additionally returns every window's int in sequence order
-    (used by the unitig-walking helpers)."""
+def _count_words_batch(seqs, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Unique forward-strand k-mers over a read set, one vectorized pass:
+    reads are concatenated with N separators, windows extracted via
+    stride tricks, packed into ceil(k/32) u64 word rows (word w covers
+    bases [32w, min(32(w+1), k)), right-aligned within its span), and
+    uniqued as structured rows (countKmerForGapClose counterpart,
+    counter.h:1016-1056). Returns (words (N, W) u64 sorted, counts)."""
+    W = (k + 31) // 32
     if not seqs:
-        return [], np.zeros(0, np.int64), []
+        return np.zeros((0, W), np.uint64), np.zeros(0, np.int64)
     cat = np.concatenate(
         [np.concatenate([np.asarray(s, np.uint8), np.array([255], np.uint8)])
          for s in seqs])
     if len(cat) < k:
-        return [], np.zeros(0, np.int64), []
+        return np.zeros((0, W), np.uint64), np.zeros(0, np.int64)
     win = np.lib.stride_tricks.sliding_window_view(cat, k)
     win = win[(win <= 3).all(axis=1)]
     if not len(win):
-        return [], np.zeros(0, np.int64), []
-    W = (k + 31) // 32
+        return np.zeros((0, W), np.uint64), np.zeros(0, np.int64)
     words = np.zeros((len(win), W), dtype=np.uint64)
     for w in range(W):
         chunk = win[:, w * 32: (w + 1) * 32].astype(np.uint64)
         shifts = np.uint64(2) * np.arange(chunk.shape[1] - 1, -1, -1,
                                           dtype=np.uint64)
         words[:, w] = (chunk << shifts).sum(axis=1)
-    # residual widths: word w covers bases [32w, e_w); v = sum w_i << 2(k - e_i)
-    ends = [min(32 * (w + 1), k) for w in range(W)]
+    uw, starts, _ = _dedup_rows(words)
+    counts = np.diff(np.append(starts, len(words)))
+    return np.ascontiguousarray(uw), counts.astype(np.int64)
 
-    def row_int(row):
-        v = 0
-        for w in range(W):
-            v |= int(row[w]) << (2 * (k - ends[w]))
-        return v
 
-    rec = np.ascontiguousarray(words).view([("", np.uint64)] * W).ravel()
-    uniq, counts = np.unique(rec, return_counts=True)
-    uniq_words = uniq.view(np.uint64).reshape(-1, W)
-    uniq_ints = [row_int(r) for r in uniq_words]
-    per = [row_int(r) for r in words] if keep_order else []
-    return uniq_ints, counts.astype(np.int64), per
+def _count_words_valued(seqs, vals: np.ndarray, k: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """k-mer word rows of several sequences with a PER-SEQUENCE value,
+    reduced to unique rows carrying the MAX value — one pass for all
+    sequences (saveLargeKmerForGapClose merge rule)."""
+    W = (k + 31) // 32
+    if not seqs:
+        return np.zeros((0, W), np.uint64), np.zeros(0, np.int64)
+    cat = np.concatenate(
+        [np.concatenate([np.asarray(s, np.uint8), np.array([255], np.uint8)])
+         for s in seqs])
+    src = np.concatenate(
+        [np.full(len(s) + 1, i, np.int64) for i, s in enumerate(seqs)])
+    if len(cat) < k:
+        return np.zeros((0, W), np.uint64), np.zeros(0, np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(cat, k)
+    ok = (win <= 3).all(axis=1)
+    win = win[ok]
+    wvals = np.asarray(vals, np.int64)[src[: len(ok)][ok]]
+    if not len(win):
+        return np.zeros((0, W), np.uint64), np.zeros(0, np.int64)
+    words = np.zeros((len(win), W), dtype=np.uint64)
+    for w in range(W):
+        chunk = win[:, w * 32: (w + 1) * 32].astype(np.uint64)
+        shifts = np.uint64(2) * np.arange(chunk.shape[1] - 1, -1, -1,
+                                          dtype=np.uint64)
+        words[:, w] = (chunk << shifts).sum(axis=1)
+    uw, starts, (svals,) = _dedup_rows(words, wvals)
+    return np.ascontiguousarray(uw), np.maximum.reduceat(svals, starts)
+
+
+def _word_widths(k: int) -> list[int]:
+    W = (k + 31) // 32
+    return [min(32 * (w + 1), k) - 32 * w for w in range(W)]
+
+
+def _succ_words(words: np.ndarray, k: int, base: int) -> np.ndarray:
+    """(v << 2 | base) within 2k bits, on the per-word representation."""
+    widths = _word_widths(k)
+    W = len(widths)
+    out = np.empty_like(words)
+    for w in range(W):
+        mask = np.uint64((1 << (2 * widths[w])) - 1)
+        if w + 1 < W:
+            carry = words[:, w + 1] >> np.uint64(2 * (widths[w + 1] - 1))
+        else:
+            carry = np.uint64(base)
+        out[:, w] = ((words[:, w] << np.uint64(2)) | carry) & mask
+    return out
+
+
+def _pred_words(words: np.ndarray, k: int, base: int) -> np.ndarray:
+    """(base << 2(k-1) | v >> 2) on the per-word representation."""
+    widths = _word_widths(k)
+    W = len(widths)
+    out = np.empty_like(words)
+    for w in range(W):
+        if w == 0:
+            carry = np.uint64(base)
+        else:
+            carry = words[:, w - 1] & np.uint64(3)
+        out[:, w] = (words[:, w] >> np.uint64(2)) \
+            | (carry << np.uint64(2 * (widths[w] - 1)))
+    return out
+
+
+def _row_hash(words: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit FNV-style mix of each word row (lookup key for
+    the hash-sorted node table; exactness comes from row verification,
+    not the hash)."""
+    h = np.full(len(words), 0xCBF29CE484222325, np.uint64)
+    for w in range(words.shape[1]):
+        h = (h ^ words[:, w]) * np.uint64(0x100000001B3)
+        h ^= h >> np.uint64(29)
+    return h
+
+
+def _dedup_rows(words: np.ndarray, *payloads: np.ndarray):
+    """Lexsort word rows, return (unique rows, run starts -> reduced
+    payload arrays via reduceat) — exact, no structured dtypes."""
+    order = np.lexsort(tuple(words[:, w]
+                             for w in range(words.shape[1] - 1, -1, -1)))
+    sw = words[order]
+    new_run = np.empty(len(sw), bool)
+    new_run[0] = True
+    new_run[1:] = (sw[1:] != sw[:-1]).any(axis=1)
+    starts = np.flatnonzero(new_run)
+    return sw[starts], starts, tuple(p[order] for p in payloads)
 
 
 class MiniDBG:
-    """Single-strand DBG over a tiny read set, with unitig tracing,
-    iterative tip clipping and simple bubble crushing."""
+    """Single-strand DBG over a tiny read set, with unitig tracing and
+    iterative tip clipping.
+
+    Array-based: k-mers live as (N, W) u64 word rows ordered by a 64-bit
+    row hash; successor/predecessor resolution is one u64 searchsorted
+    over the hash order plus exact row verification — replacing both the
+    per-node Python-int dict walk and the slow structured-dtype
+    unique/searchsorted (together they dominated gap-close wall clock)."""
 
     def __init__(self, k: int):
         self.k = k
-        self.counts: dict[int, int] = {}
+        self.W = (k + 31) // 32
+        self.keys = np.zeros((0, self.W), np.uint64)
+        self.cov = np.zeros(0, np.int64)
+        self.h = np.zeros(0, np.uint64)
+        self._topo = None
+        self._unitig_cache = None
 
-    def count(self, seqs, min_cov: int, extra: dict[int, int] | None = None):
-        uniq, cnt, _ = _count_kmers_batch(seqs, self.k)
-        for v, c in zip(uniq, cnt):
-            self.counts[v] = self.counts.get(v, 0) + int(c)
-        if extra:
-            for v, c in extra.items():
-                self.counts[v] = max(self.counts.get(v, 0), c)
-        self.counts = {v: c for v, c in self.counts.items() if c >= min_cov}
+    def _set_table(self, words: np.ndarray, cnt: np.ndarray):
+        h = _row_hash(words)
+        order = np.argsort(h, kind="stable")
+        self.keys = np.ascontiguousarray(words[order])
+        self.cov = cnt[order]
+        self.h = h[order]
+        self._topo = None
+        self._unitig_cache = None
+
+    def count(self, seqs, min_cov: int,
+              extra: tuple[np.ndarray, np.ndarray] | None = None):
+        words, cnt = _count_words_batch(seqs, self.k)
+        if extra is not None and len(extra[0]):
+            # extra (contig-derived) occurrences merge by MAX against the
+            # read counts (saveLargeKmerForGapClose semantics)
+            ewords, evals = extra
+            allw = np.concatenate([words, ewords], axis=0)
+            vals = np.concatenate([cnt, np.zeros(len(ewords), np.int64)])
+            emax = np.concatenate([np.zeros(len(words), np.int64),
+                                   np.asarray(evals, np.int64)])
+            uw, starts, (svals, semax) = _dedup_rows(allw, vals, emax)
+            words = uw
+            cnt = np.maximum(np.add.reduceat(svals, starts),
+                             np.maximum.reduceat(semax, starts))
+        keep = cnt >= min_cov
+        self._set_table(np.ascontiguousarray(words[keep]), cnt[keep])
+
+    def _find_rows(self, cand: np.ndarray) -> np.ndarray:
+        """Index of each candidate row in the table (-1 = absent):
+        hash searchsorted + exact row check, probing forward through
+        equal-hash runs."""
+        n = len(self.keys)
+        m = len(cand)
+        res = np.full(m, -1, np.int64)
+        if n == 0 or m == 0:
+            return res
+        ch = _row_hash(cand)
+        idx0 = np.searchsorted(self.h, ch)
+        pending = np.arange(m)
+        off = 0
+        while len(pending):
+            idx = idx0[pending] + off
+            ic = np.clip(idx, 0, n - 1)
+            same_h = (idx < n) & (self.h[ic] == ch[pending])
+            eq = same_h & (self.keys[ic] == cand[pending]).all(axis=1)
+            res[pending[eq]] = ic[eq]
+            pending = pending[same_h & ~eq]
+            idx0 = idx0  # probe next slot of the equal-hash run
+            off += 1
+        return res
 
     # -- topology -----------------------------------------------------
-    def _succs(self, v):
-        k = self.k
-        mask = (1 << (2 * k)) - 1
-        base = (v << 2) & mask
-        return [base | b for b in range(4) if (base | b) in self.counts]
+    def _topology(self):
+        """succ_idx/pred_idx (N, 4) int64 (-1 = absent), degrees."""
+        if self._topo is not None:
+            return self._topo
+        n = len(self.keys)
+        # all 8 neighbor candidates (4 succ + 4 pred bases) resolve in ONE
+        # lookup over the concatenated candidate rows
+        cands = [_succ_words(self.keys, self.k, b) for b in range(4)] + \
+                [_pred_words(self.keys, self.k, b) for b in range(4)]
+        res = self._find_rows(np.concatenate(cands, axis=0)).reshape(8, n).T
+        succ = np.ascontiguousarray(res[:, :4])
+        pred = np.ascontiguousarray(res[:, 4:])
+        outdeg = (succ >= 0).sum(axis=1)
+        indeg = (pred >= 0).sum(axis=1)
+        self._topo = (succ, pred, outdeg, indeg)
+        return self._topo
 
-    def _preds(self, v):
-        k = self.k
-        high = v >> 2
-        return [high | (b << (2 * (k - 1))) for b in range(4)
-                if (high | (b << (2 * (k - 1)))) in self.counts]
-
-    def unitigs(self):
-        """Maximal chains: (int-array seq, kmer count, mean coverage)."""
-        k = self.k
-        starts = []
-        for v in self.counts:
-            p = self._preds(v)
-            if len(p) != 1 or len(self._succs(p[0])) != 1:
-                starts.append(v)
-        visited = set()
-        out = []
-        for v0 in starts:
-            if v0 in visited:
+    def unitigs(self, with_chains: bool = False):
+        """Maximal chains: (base-code seq, kmer count, mean coverage)
+        (+ index chains when with_chains). Cached per graph state —
+        cut_branch_iterative's converged pass computes the same chains
+        the caller requests next."""
+        if self._topo is not None and getattr(self, "_unitig_cache", None):
+            res = self._unitig_cache
+            if with_chains:
+                return res
+            return [(s_, n_, c_) for s_, n_, c_, _ch in res]
+        n = len(self.keys)
+        if n == 0:
+            return []
+        succ, pred, outdeg, indeg = self._topology()
+        uniq_succ = succ.max(axis=1)          # valid when outdeg == 1
+        uniq_pred = pred.max(axis=1)
+        is_start = np.ones(n, bool)
+        # a node continues its predecessor's chain iff it has exactly one
+        # pred and that pred has exactly one succ
+        cont = (indeg == 1) & (outdeg[np.clip(uniq_pred, 0, n - 1)] == 1) \
+            & (uniq_pred >= 0)
+        is_start[:] = ~cont
+        visited = np.zeros(n, bool)
+        chains = []
+        order = list(np.flatnonzero(is_start)) + list(range(n))
+        for v0 in order:
+            if visited[v0]:
                 continue
             chain = [v0]
-            visited.add(v0)
+            visited[v0] = True
             v = v0
-            while True:
-                s = self._succs(v)
-                if len(s) != 1:
-                    break
-                nxt = s[0]
-                if len(self._preds(nxt)) != 1 or nxt in visited:
+            while outdeg[v] == 1:
+                nxt = int(uniq_succ[v])
+                if visited[nxt] or indeg[nxt] != 1:
                     break
                 chain.append(nxt)
-                visited.add(nxt)
+                visited[nxt] = True
                 v = nxt
-            out.append(chain)
-        # isolated cycles
-        for v0 in self.counts:
-            if v0 in visited:
-                continue
-            chain = [v0]
-            visited.add(v0)
-            v = v0
-            while True:
-                s = self._succs(v)
-                if len(s) != 1 or s[0] in visited:
-                    break
-                chain.append(s[0])
-                visited.add(s[0])
-                v = s[0]
-            out.append(chain)
+            chains.append(chain)
+        widths = _word_widths(self.k)
+        # vectorized decode of every chain's first k-mer: (C, k) bases
+        firsts = self.keys[[c[0] for c in chains]]
+        cols = []
+        for w in range(self.W):
+            ww = int(widths[w])
+            sh = np.uint64(2) * np.arange(ww - 1, -1, -1, dtype=np.uint64)
+            cols.append(((firsts[:, w:w + 1] >> sh[None, :])
+                         & np.uint64(3)).astype(np.uint8))
+        first_bases = np.concatenate(cols, axis=1)
         res = []
-        for chain in out:
+        for ci, chain in enumerate(chains):
             seq = np.empty(len(chain) + self.k - 1, dtype=np.uint8)
-            first = chain[0]
-            for i in range(self.k):
-                seq[i] = (first >> (2 * (self.k - 1 - i))) & 3
-            for j, v in enumerate(chain[1:], start=self.k):
-                seq[j] = v & 3
-            cov = sum(self.counts[v] for v in chain) / len(chain)
-            res.append((seq, len(chain), cov))
-        return res
+            seq[: self.k] = first_bases[ci]
+            # subsequent k-mers append their last base (low bits of the
+            # final word)
+            seq[self.k:] = (self.keys[chain[1:], self.W - 1]
+                            & np.uint64(3)).astype(np.uint8)
+            cov = float(self.cov[chain].mean())
+            res.append((seq, len(chain), cov, chain))
+        self._unitig_cache = res
+        if with_chains:
+            return res
+        return [(s_, n_, c_) for s_, n_, c_, _ch in res]
 
     def cut_branch_iterative(self, branch_threshold=DBG_BRANCH_THRESHOLD):
         """Tip clipping to fixed point (cutBranch semantics: short chains
         attached on exactly one side, coverage <= threshold * max sibling)."""
         while True:
-            tips = []
-            for seq, nk, cov in self.unitigs():
+            n = len(self.keys)
+            if n == 0:
+                break
+            succ, pred, outdeg, indeg = self._topology()
+            kill = np.zeros(n, bool)
+            n_tips = 0
+            for item in self.unitigs(with_chains=True):
+                seq, nk, cov, chain = item
                 if nk > self.k:
                     continue
-                chain = _kmer_ints(seq, self.k)
-                if not chain:
+                cset = set(chain)
+                head_p = [int(p) for p in pred[chain[0]] if p >= 0
+                          and int(p) not in cset]
+                tail_s = [int(s) for s in succ[chain[-1]] if s >= 0
+                          and int(s) not in cset]
+                if bool(head_p) == bool(tail_s):
                     continue
-                head_p = self._preds(chain[0])
-                tail_s = self._succs(chain[-1])
-                # exclude in-chain self references for 1-kmer chains
-                attached_left = [p for p in head_p if p not in chain]
-                attached_right = [s for s in tail_s if s not in chain]
-                if bool(attached_left) == bool(attached_right):
-                    continue
-                junc = attached_left[0] if attached_left else attached_right[0]
-                sibs = (self._succs(junc) if attached_left
-                        else self._preds(junc))
+                junc = head_p[0] if head_p else tail_s[0]
+                sibs = succ[junc] if head_p else pred[junc]
                 sib_cov = 0
                 for sb in sibs:
-                    if sb in chain:
+                    if sb < 0 or int(sb) in cset:
                         continue
-                    sib_cov = max(sib_cov, self.counts.get(sb, 0))
+                    sib_cov = max(sib_cov, int(self.cov[int(sb)]))
                 if cov <= sib_cov * branch_threshold:
-                    tips.append(chain)
-            if not tips:
+                    kill[chain] = True
+                    n_tips += 1
+            if not n_tips:
                 break
-            for chain in tips:
-                for v in chain:
-                    self.counts.pop(v, None)
+            keep = ~kill
+            self.keys = np.ascontiguousarray(self.keys[keep])
+            self.cov = self.cov[keep]
+            self._topo = None
+        self._unitig_cache = None
 
 
 # ---------------------------------------------------------------------------
 # flank matching (calcMissmatch{Left,Right}EdgeSeq, gapCloseDBG.h:598-680)
 # ---------------------------------------------------------------------------
 
+def _match_candidates(neq: np.ndarray, lengths: np.ndarray, max_ov: np.ndarray,
+                      min_overlap: int, max_miss_rate: float):
+    """Shared tail of the matchers: neq (L, J) mismatch matrix (row per
+    candidate length, anchored at offset j=0), pick the reference's best:
+    smallest final miss rate, first (largest length) on ties, subject to
+    the two tolerance gates (calcMissmatch*, gapCloseDBG.h:598-680)."""
+    L = len(lengths)
+    if L == 0:
+        return 0, 1.0
+    jj = np.arange(neq.shape[1])
+    in_ov = jj[None, :] < max_ov[:, None]
+    miss_cum = np.cumsum(np.where(in_ov, neq, 0), axis=1)
+    probe = np.minimum(min_overlap, max_ov) - 1
+    rows = np.arange(L)
+    tol1 = (lengths * max_miss_rate + 0.5).astype(np.int64)
+    tol2 = (max_ov * max_miss_rate + 0.5).astype(np.int64)
+    final = miss_cum[rows, max_ov - 1]
+    ok = (miss_cum[rows, probe] <= tol1) & (final <= tol2)
+    if not ok.any():
+        return 0, 1.0
+    rate = np.where(ok, final / max_ov, np.inf)
+    best = int(np.argmin(rate))   # lengths are in DESCENDING order
+    return int(lengths[best]), float(rate[best])
+
+
 def _match_left(head: np.ndarray, u: np.ndarray, min_overlap: int,
                 max_miss_rate: float):
-    """Best 'length' such that u[:length]'s tail aligns to head's tail."""
-    best_len, best_rate = 0, 1.0
+    """Best 'length' such that u[:length]'s tail aligns to head's tail —
+    one broadcasted mismatch matrix instead of a cumsum per candidate."""
     hs = len(head)
-    for length in range(len(u), min_overlap - 1, -1):
-        max_ov = min(length, hs)
-        seg_u = u[length - max_ov: length]
-        seg_h = head[hs - max_ov:]
-        miss = np.cumsum((seg_u[::-1] != seg_h[::-1]).astype(np.int64))
-        tol1 = int(length * max_miss_rate + 0.5)
-        if miss[min(min_overlap, max_ov) - 1] > tol1:
-            continue
-        tol2 = int(max_ov * max_miss_rate + 0.5)
-        if miss[-1] > tol2:
-            continue
-        rate = miss[-1] / max_ov
-        if rate < best_rate:
-            best_rate = rate
-            best_len = length
-    return best_len, best_rate
+    n = len(u)
+    if n < min_overlap:
+        return 0, 1.0
+    lengths = np.arange(n, min_overlap - 1, -1)
+    max_ov = np.minimum(lengths, hs)
+    jmax = int(max_ov.max())
+    # cell (row, j): u[length-1-j] vs head[hs-1-j]
+    uidx = lengths[:, None] - 1 - np.arange(jmax)[None, :]
+    neq = u[np.clip(uidx, 0, n - 1)] != head[hs - 1 - np.arange(jmax)][None, :]
+    return _match_candidates(neq, lengths, max_ov, min_overlap,
+                             max_miss_rate)
 
 
 def _match_right(tail: np.ndarray, u: np.ndarray, min_overlap: int,
                  max_miss_rate: float):
     """Best 'length' such that u's tail-segment matches tail's head."""
-    best_len, best_rate = 0, 1.0
     ts = len(tail)
     n = len(u)
-    for length in range(n, min_overlap - 1, -1):
-        max_ov = min(length, ts)
-        seg_u = u[n - length: n - length + max_ov]
-        seg_t = tail[:max_ov]
-        miss = np.cumsum((seg_u != seg_t).astype(np.int64))
-        tol1 = int(length * max_miss_rate + 0.5)
-        if miss[min(min_overlap, max_ov) - 1] > tol1:
-            continue
-        tol2 = int(max_ov * max_miss_rate + 0.5)
-        if miss[-1] > tol2:
-            continue
-        rate = miss[-1] / max_ov
-        if rate < best_rate:
-            best_rate = rate
-            best_len = length
-    return best_len, best_rate
+    if n < min_overlap:
+        return 0, 1.0
+    lengths = np.arange(n, min_overlap - 1, -1)
+    max_ov = np.minimum(lengths, ts)
+    jmax = int(max_ov.max())
+    # cell (row, j): u[n-length+j] vs tail[j]
+    uidx = n - lengths[:, None] + np.arange(jmax)[None, :]
+    neq = u[np.clip(uidx, 0, n - 1)] != tail[np.arange(jmax)][None, :]
+    return _match_candidates(neq, lengths, max_ov, min_overlap,
+                             max_miss_rate)
 
 
 def dbg_close_gap(gap: Gap, min_k=BRUIJN_MIN_KMER, max_k=BRUIJN_MAX_KMER,
@@ -451,10 +606,11 @@ def _assemble_gap_reads(gap: Gap, min_k=BRUIJN_MIN_KMER, max_k=BRUIJN_MAX_KMER,
     low = MiniDBG(min_k)
     low.count(seqs, min_cov)
     low.cut_branch_iterative()
-    extra: dict[int, int] = {}
-    for seq, _nk, cov in low.unitigs():
-        for v in _kmer_ints(seq, max_k):
-            extra[v] = max(extra.get(v, 0), max(int(cov + 0.5), min_cov))
+    units = low.unitigs()
+    useqs = [u[0] for u in units]
+    uvals = np.array([max(int(c + 0.5), min_cov) for _s, _n, c in units],
+                     np.int64)
+    extra = _count_words_valued(useqs, uvals, max_k)
     high = MiniDBG(max_k)
     high.count(seqs, min_cov, extra=extra)
     high.cut_branch_iterative()
