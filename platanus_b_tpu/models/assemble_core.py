@@ -350,41 +350,43 @@ def save_contig_next_k(dbg: DBG, next_k: int, occurrence_ratio: float) -> KmerTa
     next_k-mers of the extended unitig sequences, occurrence =
     u16(cov * ratio + 0.5), max-merged across unitigs.
 
-    Unitigs are processed in LENGTH BUCKETS (columns padded to the
-    bucket's power-of-two, not the global max): padding every row to the
-    longest contig exploded the window count ~rows x lmax and exhausted
-    HBM at late k steps. Each bucket's window capacity is bounded by a
-    row budget and buckets fold through a max-rule accumulator.
+    Unitig sequences are chopped into FIXED-WIDTH segments (SEG bases,
+    overlapping by next_k - 1 so no window is lost): one canonical column
+    shape keeps XLA recompiles bounded (~log2 row-capacity variants per
+    word width) independent of the dataset's contig length distribution —
+    padding every row to the longest contig both exploded the window
+    count and exhausted HBM at late k steps. Segment batches are bounded
+    by a window budget and fold through a max-rule accumulator.
     """
     from ..ops.padding import next_pow2
 
+    SEG = 4096
     diff = next_k - dbg.k
     ext_seqs, ucov = extended_unitig_sequences(dbg, diff)
     occs = np.minimum((ucov * occurrence_ratio + 0.5).astype(np.uint32),
                       cnt.MAX_OCCURRENCE)
-    keep = [i for i, s in enumerate(ext_seqs) if len(s) >= next_k]
-    if not keep:
+    step = SEG - (next_k - 1)
+    segs: list[tuple[int, int, int]] = []   # (seq idx, start, length)
+    for i, s in enumerate(ext_seqs):
+        if len(s) < next_k:
+            continue
+        for st in range(0, max(len(s) - (next_k - 1), 1), step):
+            segs.append((i, st, min(SEG, len(s) - st)))
+    if not segs:
         return KmerTable(next_k, np.zeros((0, num_words(next_k)), np.uint32),
                          np.zeros((0,), np.uint32))
     W = num_words(next_k)
     acc = cnt.TableAccumulator(W, rule="max")
-    BUDGET_WINDOWS = 16 << 20
-    # group by padded length bucket (pow2 columns >= 64)
-    keep.sort(key=lambda i: len(ext_seqs[i]))
+    MAX_ROWS = (16 << 20) // SEG
     pos = 0
-    while pos < len(keep):
-        blen = next_pow2(len(ext_seqs[keep[pos]]), minimum=64)
-        group = []
-        while pos < len(keep) and len(ext_seqs[keep[pos]]) <= blen:
-            group.append(keep[pos])
-            pos += 1
-            if len(group) * blen >= BUDGET_WINDOWS:
-                break
-        rows = next_pow2(len(group), minimum=8)
-        mat = np.full((rows, blen), 4, dtype=np.uint8)
+    while pos < len(segs):
+        group = segs[pos: pos + MAX_ROWS]
+        pos += len(group)
+        rows = min(next_pow2(len(group), minimum=8), MAX_ROWS)
+        mat = np.full((rows, SEG), 4, dtype=np.uint8)
         occv = np.zeros((rows,), np.uint32)
-        for r, i in enumerate(group):
-            mat[r, : len(ext_seqs[i])] = ext_seqs[i]
+        for r, (i, st, ln) in enumerate(group):
+            mat[r, :ln] = ext_seqs[i][st: st + ln]
             occv[r] = occs[i]
         uk, uv, n = _contig_kmer_group(jnp.asarray(mat),
                                        jnp.asarray(occv), next_k)

@@ -109,13 +109,17 @@ def dedup_max(sorted_keys: jnp.ndarray, sorted_vals: jnp.ndarray):
     runs by sorting (keys, MAX-val), so each run's FIRST row holds its
     max, then read it at run starts and compact starts."""
     n = sorted_keys.shape[0]
+    W = sorted_keys.shape[-1]
     valid, is_new, _is_end = _run_marks(sorted_keys)
     n_unique = jnp.sum(is_new.astype(jnp.int32))
     vals = jnp.where(valid, sorted_vals.astype(jnp.uint32), 0)
     inv = jnp.uint32(0xFFFFFFFF) - vals
-    out = sort_by_key(sorted_keys, inv)
-    rkeys, rinv = out[0], out[1]
-    rvals = jnp.uint32(0xFFFFFFFF) - rinv
+    # inv participates as the LAST SORT KEY (num_keys = W + 1), so each
+    # run's first row holds its maximum value
+    ops = tuple(sorted_keys[:, w] for w in range(W)) + (inv,)
+    out = jax.lax.sort(ops, num_keys=W + 1)
+    rkeys = jnp.stack(out[:W], axis=-1)
+    rvals = jnp.uint32(0xFFFFFFFF) - out[W]
     # after the (key, MAX-val) sort, each run's first row holds the run max;
     # recompute run starts on the re-sorted keys (same key order)
     _v2, r_is_new, _e2 = _run_marks(rkeys)

@@ -162,3 +162,29 @@ def test_partitioned_counting_matches_plain(rng):
         pk, pc = count_reads_partitioned([batch], k, 4)
         np.testing.assert_array_equal(pk, table.keys)
         np.testing.assert_array_equal(pc, table.counts)
+
+
+def test_dedup_max_value_correctness(rng):
+    """Regression: the run max must win regardless of input order —
+    dedup_max once relied on payload stability instead of sorting by
+    value, silently keeping the FIRST value per key."""
+    import jax.numpy as jnp
+
+    pool = rng.integers(0, 50, size=(300, 2)).astype(np.uint32)
+    idx = rng.integers(0, 300, size=5000)
+    keys = pool[idx]
+    vals = rng.integers(1, 1000, size=5000).astype(np.uint32)
+    sent = np.full((64, 2), 0xFFFFFFFF, np.uint32)
+    keys = np.vstack([keys, sent])
+    vals = np.concatenate([vals, np.zeros(64, np.uint32)])
+    order = np.lexsort((keys[:, 1], keys[:, 0]))
+    uk, uv, n = cnt.dedup_max(jnp.asarray(keys[order]),
+                              jnp.asarray(vals[order]))
+    n = int(n)
+    expect: dict = {}
+    for kk, vv in zip(map(tuple, keys.tolist()), vals.tolist()):
+        if kk != (0xFFFFFFFF, 0xFFFFFFFF):
+            expect[kk] = max(expect.get(kk, 0), vv)
+    got = {tuple(map(int, k)): int(v)
+           for k, v in zip(np.asarray(uk[:n]), np.asarray(uv[:n]))}
+    assert got == expect
