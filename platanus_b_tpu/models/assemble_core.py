@@ -244,7 +244,11 @@ def extended_unitig_sequences(dbg: DBG, diff: int) -> tuple[list[np.ndarray], np
     Returns (list of code arrays, coverages).
     """
     u = dbg.label_unitigs()
-    seqs, base_lens = dbg.unitig_sequences()
+    flat, offs, base_lens = dbg.unitig_sequences_flat()
+
+    def useq(i):
+        return flat[offs[i]: offs[i] + base_lens[i]]
+
     succ_idx, succ_orient, out, outdeg, is_junction = dbg.topo
     si = np.asarray(succ_idx)
     so = np.asarray(succ_orient)
@@ -272,7 +276,7 @@ def extended_unitig_sequences(dbg: DBG, diff: int) -> tuple[list[np.ndarray], np
     def unitig_oriented_seq(uid2, end_node, end_orient):
         """Unitig uid2's bases oriented so that (end_node, end_orient) is its
         LAST k-mer."""
-        s = seqs[uid2, : base_lens[uid2]]
+        s = useq(uid2)
         # stored orientation has utail as last; check whether requested end
         # matches stored tail or stored head
         t = u.utail[uid2]
@@ -283,7 +287,7 @@ def extended_unitig_sequences(dbg: DBG, diff: int) -> tuple[list[np.ndarray], np
     ext_seqs: list[np.ndarray] = []
     for ui in range(u.num_unitigs):
         parts = []
-        s = seqs[ui, : base_lens[ui]]
+        s = useq(ui)
         # ---- left (head) side
         h = u.uhead[ui]
         hi, ho = h >> 1, h & 1
@@ -694,14 +698,20 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
     for pos in range(1, len(ks)):
         k_new, k_prev = ks[pos], ks[pos - 1]
         with LOG.stage(f"extending k to {k_new}"):
-            edge = edge_kmer_keys(dbg, k_new)
-            read_fp = filter_reads_by_edge_kmers(read_fp, edge, k_prev)
+            with LOG.stage("  edge kmers"):
+                edge = edge_kmer_keys(dbg, k_new)
+            with LOG.stage("  read filter"):
+                read_fp = filter_reads_by_edge_kmers(read_fp, edge, k_prev)
             ratio = (average_length - k_new + 1.0) / (average_length - k_prev + 1.0)
-            contig_tab = save_contig_next_k(dbg, k_new, ratio)
-            table, hist = count_considering_previous(contig_tab, read_fp)
+            with LOG.stage("  save contig next-k"):
+                contig_tab = save_contig_next_k(dbg, k_new, ratio)
+            with LOG.stage("  recount"):
+                table, hist = count_considering_previous(contig_tab, read_fp)
             LOG.counter("COVERAGE_CUTOFF", cutoffs[pos])
-            dbg = build_dbg_from_table(table, cutoffs[pos])
-            clean.cut_branch_iterative(dbg, opts.branch_threshold)
+            with LOG.stage("  graph build"):
+                dbg = build_dbg_from_table(table, cutoffs[pos])
+            with LOG.stage("  cut branch"):
+                clean.cut_branch_iterative(dbg, opts.branch_threshold)
             if opts.repeat_mode:
                 kc = average_coverage * (average_length - k_new + 1.0) / average_length + 0.5
                 clean.delete_erroneous_iterative(dbg, 1 << 62,
@@ -734,13 +744,15 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
     # runs saveGraph with diff = k - k = 0, so no edge k-mers survive the read
     # filter and the final table is exactly saveContig(k, ratio=1.0): extended
     # unitig sequences re-k-merized with straight coverages)
-    table = save_contig_next_k(dbg, k_last, 1.0)
-    dbg = build_dbg_from_table(table, cutoffs[-1])
+    with LOG.stage("final rebuild"):
+        table = save_contig_next_k(dbg, k_last, 1.0)
+        dbg = build_dbg_from_table(table, cutoffs[-1])
 
     cov_ratio = average_length / (average_length - k_last + 1.0)
     u = dbg.label_unitigs()
-    seqs, lens = dbg.unitig_sequences()
-    contigs = [seqs[i, : lens[i]] for i in range(u.num_unitigs)]
+    fflat, foffs, flens = dbg.unitig_sequences_flat()
+    contigs = [fflat[foffs[i]: foffs[i] + flens[i]]
+               for i in range(u.num_unitigs)]
     contig_covs = [float(u.ucov[i]) * cov_ratio for i in range(u.num_unitigs)]
     ji, jc = dbg.junction_info()
     from ..ops.kmer import kmer_to_codes

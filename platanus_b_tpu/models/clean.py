@@ -100,50 +100,112 @@ def _sibling_max_coverage(dbg: DBG, j_nodes: np.ndarray, j_orient: np.ndarray,
     return maxcov
 
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _cut_branch_kernel(succ_idx, succ_orient, outdeg, is_junction, counts,
+                       uid, ulen, ucov, uhead, utail, num_u, k,
+                       branch_threshold):
+    """Device tip-clipping decision (graph.h:830-926): returns
+    (node_kill mask over capacity, n_killed unitigs). Everything stays in
+    HBM — the former host version pulled three capacity-sized label
+    arrays over the device tunnel EVERY cleaning round, which dominated
+    end-to-end assemble wall clock."""
+    ucap = ulen.shape[0]
+    cap = uid.shape[0]
+    in_range = jnp.arange(ucap) < num_u
+
+    def end_attach(ends, side):
+        i = ends >> 1
+        o = ends & 1
+        look = (1 - o) if side == 0 else o
+        deg = outdeg[i, look]
+        row = succ_idx[i, look]
+        b = jnp.argmax(row >= 0, axis=-1)
+        tgt = jnp.take_along_axis(row, b[:, None], axis=-1)[:, 0]
+        tor = jnp.take_along_axis(succ_orient[i, look], b[:, None],
+                                  axis=-1)[:, 0]
+        attached = (deg == 1) & (tgt >= 0)
+        return jnp.where(attached, tgt, -1), jnp.where(attached, tor, 0)
+
+    head_j, head_q = end_attach(uhead, 0)
+    tail_j, tail_q = end_attach(utail, 1)
+    short = ulen <= k
+    one_side = (head_j >= 0) ^ (tail_j >= 0)
+    tip = short & one_side & in_range
+
+    jn = jnp.clip(jnp.where(head_j >= 0, head_j, tail_j), 0, cap - 1)
+    jq = jnp.where(head_j >= 0, head_q, tail_q)
+    q = 1 - jq
+    uidx = jnp.arange(ucap)
+    maxcov = jnp.zeros(ucap, dtype=jnp.int64)
+    for b in range(4):
+        tgt = succ_idx[jn, q, b]
+        has = tgt >= 0
+        t = jnp.clip(tgt, 0, cap - 1)
+        cov_j = counts[t].astype(jnp.int64)
+        tu = jnp.clip(uid[t], 0, ucap - 1)
+        cov_u = jnp.where(uid[t] >= 0, ucov[tu].astype(jnp.int64), 0)
+        cov = jnp.where(is_junction[t], cov_j, cov_u)
+        cov = jnp.where(has & (jnp.where(uid[t] >= 0, uid[t], -2) != uidx),
+                        cov, 0)
+        maxcov = jnp.maximum(maxcov, cov)
+
+    kill_u = tip & (ucov.astype(jnp.float32)
+                    <= maxcov.astype(jnp.float32) * branch_threshold)
+    n_kill = jnp.sum(kill_u.astype(jnp.int32))
+    node_uid = jnp.clip(uid, 0, ucap - 1)
+    node_kill = (uid >= 0) & kill_u[node_uid]
+    return node_kill, n_kill
+
+
 def cut_branch(dbg: DBG, branch_threshold: float = 0.5) -> int:
-    """One tip-clipping round (graph.h:830-926).
+    """One tip-clipping round (graph.h:830-926), fully device-side.
 
     A tip is a unitig with <= k k-mers, attached to a junction on exactly
     one side, dead-ended on the other; it is deleted when its coverage <=
     branch_threshold * (max sibling branch coverage at that junction).
     """
-    u = dbg.label_unitigs()
-    if u.num_unitigs == 0:
-        return 0
-    ends = _unitig_ends(dbg)
-    head_j, head_q = ends[0]
-    tail_j, tail_q = ends[1]
-
-    short = u.ulen <= dbg.k
-    one_side = (head_j >= 0) ^ (tail_j >= 0)
-    tip = short & one_side
-    if not tip.any():
-        return 0
-
-    jn = np.where(head_j >= 0, head_j, tail_j)
-    jq = np.where(head_j >= 0, head_q, tail_q)
-    uidx = np.arange(u.num_unitigs)
-    maxcov = np.zeros(u.num_unitigs, dtype=np.int64)
-    sel = np.nonzero(tip)[0]
-    maxcov[sel] = _sibling_max_coverage(dbg, jn[sel], jq[sel], uidx[sel])
-
-    kill = tip & (u.ucov.astype(np.float64) <= maxcov * branch_threshold)
-    n_kill = int(kill.sum())
+    succ_idx, succ_orient, out, outdeg, is_junction = dbg.topo
+    uid, upos, uorient, num_u, ulen, ucov, uhead, utail = \
+        dbg.label_unitigs_device()
+    node_kill, n_kill = _cut_branch_kernel(
+        succ_idx, succ_orient, outdeg, is_junction, dbg.counts,
+        uid, ulen, ucov, uhead, utail, num_u, dbg.k,
+        jnp.float32(branch_threshold))
+    n_kill = int(n_kill)
     if n_kill:
-        dbg.delete_unitigs(kill)
+        dbg.delete_nodes(node_kill)
     return n_kill
+
+
+@jax.jit
+def _delete_erroneous_kernel(uid, ulen, ucov, num_u, length_cut,
+                             coverage_cut):
+    ucap = ulen.shape[0]
+    in_range = jnp.arange(ucap) < num_u
+    kill_u = in_range & (ulen < length_cut) \
+        & (ucov.astype(jnp.float32) < coverage_cut)
+    n_kill = jnp.sum(kill_u.astype(jnp.int32))
+    node_kill = (uid >= 0) & kill_u[jnp.clip(uid, 0, ucap - 1)]
+    return node_kill, n_kill
 
 
 def delete_erroneous(dbg: DBG, length_cut: int, coverage_cut: float) -> int:
     """deleteErroneousStraightNode (graph.h:2033-2082): kill unitigs with
-    ulen < length_cut AND coverage < coverage_cut."""
-    u = dbg.label_unitigs()
-    if u.num_unitigs == 0:
-        return 0
-    kill = (u.ulen < length_cut) & (u.ucov < coverage_cut)
-    n_kill = int(kill.sum())
+    ulen < length_cut AND coverage < coverage_cut (device-side)."""
+    uid, upos, uorient, num_u, ulen, ucov, uhead, utail = \
+        dbg.label_unitigs_device()
+    node_kill, n_kill = _delete_erroneous_kernel(
+        uid, ulen, ucov, num_u, jnp.int32(min(length_cut, 2**31 - 1)),
+        jnp.float32(min(coverage_cut, 3.4e38)))
+    n_kill = int(n_kill)
     if n_kill:
-        dbg.delete_unitigs(kill)
+        dbg.delete_nodes(node_kill)
     return n_kill
 
 

@@ -52,13 +52,33 @@ def popcount4(x: jnp.ndarray) -> jnp.ndarray:
 # adjacency (jitted once per (capacity, k))
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _mask_topo_kernel(succ_idx, succ_orient, alive_new):
+    """Incremental adjacency after node deletion: edges to dead targets
+    (and rows of dead sources) vanish; junction status recomputes from
+    the new degrees. NO key lookups — deletion can only REMOVE edges, so
+    the expensive binary-search adjacency build runs once per graph and
+    cleaning rounds update it by masking."""
+    cap = alive_new.shape[0]
+    tgt_ok = (succ_idx >= 0) & alive_new[jnp.clip(succ_idx, 0, cap - 1)]
+    ok = tgt_ok & alive_new[:, None, None]
+    si = jnp.where(ok, succ_idx, INVALID)
+    so = jnp.where(ok, succ_orient, 0)
+    out = jnp.sum(jnp.where(si >= 0,
+                            jnp.uint8(1) << jnp.arange(4, dtype=jnp.uint8),
+                            0), axis=-1).astype(jnp.uint8)
+    outdeg = popcount4(out)
+    is_junction = alive_new & ((outdeg[:, 0] >= 2) | (outdeg[:, 1] >= 2))
+    return si, so, out, outdeg, is_junction
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _adjacency_kernel(keys: jnp.ndarray, alive: jnp.ndarray,
                       n: jnp.ndarray, k: int):
     cap = keys.shape[0]
+    W = keys.shape[-1]
     dead_key = jnp.full_like(keys, SENTINEL)
-    # all 8 extension queries (2 orientations x 4 bases) in ONE batched
-    # lookup: a single binary-search loop over (8N, W) queries
+    # all 8 extension queries (2 orientations x 4 bases)
     queries = []
     orients = []
     for o in (0, 1):
@@ -73,9 +93,41 @@ def _adjacency_kernel(keys: jnp.ndarray, alive: jnp.ndarray,
             queries.append(canon)
             orients.append(jnp.where(is_fwd, 0, 1).astype(jnp.uint8))
     q_all = jnp.concatenate(queries, axis=0)          # (8N, W)
-    idx_all = _lookup_jit(keys, q_all, n)
+    # SORT-JOIN instead of binary search: XLA's TPU sort runs near
+    # bandwidth while a 25-round binary search is 25 giant random
+    # gathers (~10x slower measured). Table rows and query rows sort
+    # together by (key, tag); within an equal-key run the unique table
+    # row sorts first (smaller tag) and a cummax forward-fill hands its
+    # index to every query in the run.
+    m = 9 * cap
+    tkeys = jnp.where(alive[:, None], keys, dead_key)
+    all_keys = jnp.concatenate([tkeys, q_all], axis=0)
+    tag = jnp.arange(m, dtype=jnp.uint32)             # table rows first
+    ops = tuple(all_keys[:, w] for w in range(W)) + (tag,)
+    out_s = jax.lax.sort(ops, num_keys=W + 1)
+    skeys = jnp.stack(out_s[:W], axis=-1)
+    stag = out_s[W]
+    is_table = stag < cap
+    pos = jnp.arange(m, dtype=jnp.int32)
+    is_new = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (skeys[1:] != skeys[:-1]).any(axis=-1)])
+    # a run's table row (unique keys) sorts FIRST in its run, so it sits
+    # exactly at the run start; and since the table itself is key-sorted,
+    # table tags are MONOTONE in sorted position — three int32 cummaxes
+    # recover, for every row, its run's table index (if any)
+    run_start = jax.lax.cummax(jnp.where(is_new, pos, -1))
+    tbl_start = jax.lax.cummax(jnp.where(is_new & is_table, pos, -1))
+    tbl_tag = jax.lax.cummax(
+        jnp.where(is_new & is_table, stag.astype(jnp.int32), -1))
+    ok_match = tbl_start >= run_start
+    ans = jnp.where(ok_match, tbl_tag, INVALID)
+    # route answers back to query order: sort by tag
+    back = jax.lax.sort((stag, ans), num_keys=1)
+    idx_all = back[1][cap:]
     idx_all = jnp.where(
-        (idx_all >= 0) & alive[jnp.clip(idx_all, 0, cap - 1)], idx_all, INVALID)
+        (idx_all >= 0) & (idx_all < n)
+        & alive[jnp.clip(idx_all, 0, cap - 1)], idx_all, INVALID)
     # (8, N) -> (N, 2, 4)
     succ_idx = idx_all.reshape(2, 4, cap).transpose(2, 0, 1)
     succ_orient = jnp.stack(orients, axis=0).reshape(2, 4, cap).transpose(2, 0, 1)
@@ -259,6 +311,38 @@ def _sequence_kernel(keys, uid, upos, uorient, k: int, lmax: int,
     return seqs[:rows]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "flatcap"))
+def _sequence_flat_kernel(keys, uid, upos, uorient, offsets, num_u,
+                          k: int, flatcap: int):
+    """Materialize ALL unitig sequences into one flat base buffer
+    (offsets[u] = start of unitig u, length = ulen[u] + k - 1).
+
+    The padded (U, lmax) matrix form transferred mostly padding — up to
+    hundreds of MB per k step over the device tunnel; the flat buffer is
+    exactly total-bases bytes."""
+    cap = keys.shape[0]
+    ucap = offsets.shape[0]
+    oriented = jnp.where(uorient[:, None] == 0, keys, revcomp(keys, k))
+    last_base = (oriented[:, -1] & 3).astype(jnp.uint8)
+    member = uid >= 0
+    base = offsets[jnp.clip(uid, 0, ucap - 1)]
+    flat_pos = jnp.where(member, base + upos + (k - 1), flatcap)
+    flat = jnp.full((flatcap + 1,), 4, dtype=jnp.uint8)
+    flat = flat.at[flat_pos].set(last_base, mode="drop")
+    # heads: first k-1 bases per unitig written at its offset
+    head_slot = jnp.where(member & (upos == 0), uid, ucap)
+    hn = jnp.zeros((ucap + 1,), jnp.int32).at[head_slot].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    head_codes = kmer_to_codes(oriented[hn[:ucap]], k)   # (ucap, k)
+    in_u = jnp.arange(ucap) < num_u
+    hpos = jnp.where(in_u[:, None],
+                     offsets[:, None] + jnp.arange(k - 1)[None, :],
+                     flatcap)
+    flat = flat.at[hpos.reshape(-1)].set(
+        head_codes[:, : k - 1].reshape(-1), mode="drop")
+    return flat[:flatcap]
+
+
 class DBG:
     """The graph state: sorted canonical k-mer table + alive mask.
 
@@ -298,6 +382,7 @@ class DBG:
     def invalidate(self):
         self._topo = None
         self._unitigs = None
+        self._unitigs_dev = None
 
     @property
     def topo(self):
@@ -306,14 +391,25 @@ class DBG:
                                            jnp.int32(self.n), self.k)
         return self._topo
 
+    def label_unitigs_device(self):
+        """Raw device labeling tuple (uid, upos, uorient, num_u_dev, ulen,
+        ucov, uhead, utail) — cached; device-side consumers (cut_branch)
+        use this directly so no capacity-sized array crosses the host
+        boundary per cleaning round."""
+        if getattr(self, "_unitigs_dev", None) is None:
+            succ_idx, succ_orient, out, outdeg, is_junction = self.topo
+            iters = max(1, math.ceil(math.log2(max(self.capacity, 2))) + 1)
+            self._unitigs_dev = _label_kernel(
+                succ_idx, succ_orient, outdeg, is_junction, self.alive,
+                self.counts, iters)
+        return self._unitigs_dev
+
     def label_unitigs(self) -> Unitigs:
         if self._unitigs is not None:
             return self._unitigs
-        succ_idx, succ_orient, out, outdeg, is_junction = self.topo
-        iters = max(1, math.ceil(math.log2(max(self.capacity, 2))) + 1)
-        uid, upos, uorient, num_u, ulen, ucov, uhead, utail = _label_kernel(
-            succ_idx, succ_orient, outdeg, is_junction, self.alive,
-            self.counts, iters)
+        uid, upos, uorient, num_u, ulen, ucov, uhead, utail = \
+            self.label_unitigs_device()
+        _, _, _, _, is_junction = self.topo
         num_u = int(num_u)
         self._unitigs = Unitigs(
             uid=np.asarray(uid), upos=np.asarray(upos),
@@ -324,24 +420,43 @@ class DBG:
         return self._unitigs
 
     # -- sequences ---------------------------------------------------------
+    def unitig_sequences_flat(self):
+        """(flat uint8 buffer, offsets (U,) int64, base_lens (U,) int64):
+        unitig u's bases are flat[offsets[u]: offsets[u] + base_lens[u]].
+        Only total-bases bytes cross the host boundary."""
+        uid, upos, uorient, num_u_d, ulen, ucov, uhead, utail = \
+            self.label_unitigs_device()
+        k = self.k
+        num_u = int(num_u_d)
+        if num_u == 0:
+            return (np.zeros((0,), np.uint8), np.zeros((0,), np.int64),
+                    np.zeros((0,), np.int64))
+        base_lens = np.asarray(ulen[:num_u]).astype(np.int64) + k - 1
+        offs = np.zeros(num_u, np.int64)
+        offs[1:] = np.cumsum(base_lens)[:-1]
+        total = int(base_lens.sum())
+        flatcap = next_pow2(total, minimum=1024)
+        ucap = ulen.shape[0]
+        offs_dev = np.zeros(ucap, np.int64)
+        offs_dev[:num_u] = offs
+        flat = _sequence_flat_kernel(self.keys, uid, upos, uorient,
+                                     jnp.asarray(offs_dev), num_u_d,
+                                     k, flatcap)
+        return np.asarray(flat[:total]), offs, base_lens
+
     def unitig_sequences(self) -> tuple[np.ndarray, np.ndarray]:
         """(seqs (U, lmax) uint8 padded with 4, base lengths (U,) =
         ulen + k - 1). Head contributes its first k-1 bases; every node its
-        last base in traversal orientation."""
-        u = self.label_unitigs()
-        k = self.k
-        num_u = u.num_unitigs
+        last base in traversal orientation. Built host-side from the flat
+        buffer (the padded matrix never crosses the device boundary)."""
+        flat, offs, base_lens = self.unitig_sequences_flat()
+        num_u = len(base_lens)
         if num_u == 0:
             return np.zeros((0, 0), np.uint8), np.zeros((0,), np.int64)
-        base_lens = u.ulen.astype(np.int64) + k - 1
         lmax = next_pow2(int(base_lens.max()), minimum=64)
-        rows = next_pow2(num_u, minimum=8)
-        seqs = _sequence_kernel(self.keys, jnp.asarray(u.uid),
-                                jnp.asarray(u.upos), jnp.asarray(u.uorient),
-                                k, lmax, rows)
-        seqs = np.array(seqs[:num_u])
-        mask = np.arange(lmax)[None, :] >= base_lens[:, None]
-        seqs[mask] = 4
+        seqs = np.full((num_u, lmax), 4, dtype=np.uint8)
+        for i in range(num_u):
+            seqs[i, : base_lens[i]] = flat[offs[i]: offs[i] + base_lens[i]]
         return seqs, base_lens
 
     def junction_info(self):
@@ -352,9 +467,20 @@ class DBG:
 
     # -- mutation ----------------------------------------------------------
     def delete_nodes(self, node_mask) -> None:
-        """Kill nodes (the bulk analog of deleteStraight, graph.h:934+)."""
+        """Kill nodes (the bulk analog of deleteStraight, graph.h:934+).
+
+        When a topology snapshot exists, it updates INCREMENTALLY
+        (edges to dead nodes vanish, junction status recomputes) — no
+        re-lookup of the whole key table per cleaning round. Labeling
+        still recomputes (chains merge)."""
         self.alive = self.alive & ~jnp.asarray(node_mask)
-        self.invalidate()
+        if self._topo is not None:
+            si, so, _out, _od, _isj = self._topo
+            self._topo = _mask_topo_kernel(si, so, self.alive)
+            self._unitigs = None
+            self._unitigs_dev = None
+        else:
+            self.invalidate()
 
     def delete_unitigs(self, unitig_mask: np.ndarray) -> None:
         u = self.label_unitigs()
