@@ -29,6 +29,18 @@ class ReadBatch:
     codes: np.ndarray
     lengths: np.ndarray
     _packed: tuple | None = field(default=None, repr=False, compare=False)
+    _has_n: bool | None = field(default=None, repr=False, compare=False)
+
+    @property
+    def has_n(self) -> bool:
+        """True if any read contains an N base WITHIN its length (padding
+        beyond the length does not count). N-free batches can skip the
+        nmask upload (ops.count.count_packed_lens_hier)."""
+        if self._has_n is None:
+            L = self.codes.shape[1]
+            in_read = np.arange(L)[None, :] < self.lengths[:, None]
+            self._has_n = bool(((self.codes > 3) & in_read).any())
+        return self._has_n
 
     @property
     def num_reads(self) -> int:

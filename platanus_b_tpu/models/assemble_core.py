@@ -77,6 +77,67 @@ def count_reads_device(batches: list[ReadBatch], k: int):
     from ..ops.padding import next_pow2
 
     W = num_words(k)
+    # Fast path: when the ENTIRE window stream fits the sort working-set
+    # budget, one fused sort counts everything (cnt.count_lanes_fused) —
+    # half the sorted rows of the chunked path and no cross-chunk fold.
+    # Budget: ~8 GB HBM across the two sorts' in/out buffers.
+    fused_rows_cap = (8 << 30) // ((W + 1) * 16)
+    total_rows = 0
+    for b in batches:
+        if b.num_reads == 0:
+            continue
+        r2 = next_pow2(b.num_reads, minimum=256)
+        l2 = -(-max(b.max_len, 1) // 32) * 32
+        total_rows += r2 * max(l2 - k + 1, 0)
+    if total_rows == 0:
+        return (jnp.zeros((0, W), jnp.uint32), jnp.zeros((0,), jnp.uint32),
+                0, np.zeros(cnt.MAX_OCCURRENCE + 1, np.int64))
+    if total_rows <= fused_rows_cap:
+        # ONE host concat + ONE transfer + ONE fused executable: per-batch
+        # dispatches over the device tunnel cost tens of ms each and
+        # dominated the round-3 pipeline (1.5 s of 3.5 s).
+        live = [b for b in batches if b.num_reads]
+        no_n = not any(b.has_n for b in live)
+        packed = [b.packed() for b in live]
+        wmax = max(p[0].shape[1] for p in packed)
+        wparts, nparts, lparts = [], [], []
+        for b, (wds, nmk) in zip(live, packed):
+            if wds.shape[1] < wmax:
+                wds = np.pad(wds, ((0, 0), (0, wmax - wds.shape[1])))
+                nmk = np.pad(nmk, ((0, 0), (0, wmax // 2 - nmk.shape[1])),
+                             constant_values=0xFFFFFFFF)
+            wparts.append(wds)
+            nparts.append(nmk)
+            lens = np.zeros(wds.shape[0], np.int32)
+            lens[: b.num_reads] = b.lengths
+            lparts.append(lens)
+        words = jnp.asarray(np.concatenate(wparts, axis=0))
+        if no_n:
+            lengths = jnp.asarray(np.concatenate(lparts))
+            ulanes, ucounts, un, spilled, dhist = cnt.count_packed_lens_hier(
+                words, lengths, k)
+        else:
+            nmask = jnp.asarray(np.concatenate(nparts, axis=0))
+            ulanes, ucounts, un, spilled, dhist = cnt.count_packed_hier(
+                words, nmask, k)
+        n, sp, hist = jax.device_get((un, spilled, dhist))  # one host sync
+        n = int(n)
+        if bool(sp):  # ultra-high unique density: redo with the full sort
+            if no_n:
+                from ..ops.kmer import unpack_codes_lens
+                codes = unpack_codes_lens(words, lengths)
+                keys, _v = extract_canonical_kmers(codes, k)
+                lanes = tuple(keys[..., w].reshape(-1) for w in range(W))
+            else:
+                lanes = cnt.extract_lanes_packed(words, nmask, k)
+            ulanes, ucounts, un = cnt.count_lanes_fused(lanes)
+            n = int(un)
+            hist = np.asarray(cnt.occurrence_histogram(ucounts))
+        cap2 = min(next_pow2(max(n, 1)), ulanes[0].shape[0])
+        keys = jnp.stack([ln[:cap2] for ln in ulanes], axis=-1)
+        counts = ucounts[:cap2].astype(jnp.uint32)
+        return keys, counts, n, np.asarray(hist)
+
     acc = cnt.TableAccumulator(W)
     # chunking: extraction is per-batch (keeps transfer granularity), but
     # several batches' windows concat into ONE sort — large sorts

@@ -150,6 +150,201 @@ def extract_flat_packed(words: jnp.ndarray, nmask: jnp.ndarray,
     return keys.reshape(-1, keys.shape[-1])
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_lanes_packed(words: jnp.ndarray, nmask: jnp.ndarray, k: int):
+    """extract_flat_packed, but returning W SEPARATE 1-D u32 lane arrays.
+
+    TPU layout hazard (measured round 4): a (N, 2) u32 array crossing a
+    jit boundary into elementwise ops gets the tiled layout T(8,128) —
+    the minor dim 2 pads to 128, a 64x memory blowup that OOMs at ~67M
+    rows. Keys therefore travel as separate 1-D lanes everywhere in the
+    counting hot path.
+    """
+    from .kmer import unpack_codes
+    keys, _valid = extract_canonical_kmers(unpack_codes(words, nmask), k)
+    W = keys.shape[-1]
+    return tuple(keys[..., w].reshape(-1) for w in range(W))
+
+
+def _lane_neq_prev(lanes):
+    neq = lanes[0][1:] != lanes[0][:-1]
+    for ln in lanes[1:]:
+        neq = neq | (ln[1:] != ln[:-1])
+    return neq
+
+
+def _lane_valid(lanes):
+    v = lanes[0] != SENTINEL
+    for ln in lanes[1:]:
+        v = v | (ln != SENTINEL)
+    return v
+
+
+def _marks_runlens(slanes, n_valid=None):
+    """(is_end, counts) over W sorted 1-D lanes: run ends + run lengths.
+
+    Run lengths need no segmented scan: at a run's end, the previous
+    run's end position is the running max (exclusive cummax) of
+    end-masked positions, so length = pos - prev. When the caller knows
+    the valid-window count up front (extraction's valid mask), pass
+    n_valid: valid rows form a sorted prefix, so the validity test is a
+    single arange compare instead of W lane compares.
+    """
+    n = slanes[0].shape[0]
+    if n_valid is None:
+        valid = _lane_valid(slanes)
+    else:
+        valid = jnp.arange(n, dtype=jnp.int32) < n_valid
+    neq = _lane_neq_prev(slanes)
+    is_end = valid & jnp.concatenate([neq, jnp.ones((1,), bool)])
+    pos = jnp.arange(1, n + 1, dtype=jnp.uint32)
+    endpos = jnp.where(is_end, pos, 0)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32),
+                            jax.lax.cummax(endpos)[:-1]])
+    # u16 with the reference counter's exact saturation (counter.h:459-476
+    # caps at UINT16_MAX-1) — and a 16-bit payload lane is half the sort
+    # bandwidth of a 32-bit one
+    counts = jnp.where(is_end,
+                       jnp.minimum(pos - prev, MAX_OCCURRENCE), 0
+                       ).astype(jnp.uint16)
+    return is_end, counts
+
+
+# hierarchical compaction: block-local sort moves each block's live rows
+# to its front at ~(log2 BLOCK / log2 n)^2 the cost of a full sort, then
+# one global sort over the surviving BLOCK/4 columns finishes. Safe while
+# every block holds <= BLOCK/4 live rows — guaranteed-checked on device
+# (spill flag -> full-sort fallback), and essentially never hit at
+# realistic unique densities (mean + 30 sigma at 25%).
+_COMPACT_BLOCK = 16384
+
+
+def _compact_hierarchical(slanes, is_end, counts):
+    """Compact run-end rows to the front: (lanes, counts, spilled).
+
+    Rows where is_end is False become SENTINEL keys / zero counts. The
+    result is fully sorted with all live rows first IF NOT spilled;
+    callers must fall back to a full masked sort when spilled is True.
+    """
+    W = len(slanes)
+    n = slanes[0].shape[0]
+    L = _COMPACT_BLOCK
+    C = L // 4
+    if n % L != 0 or n // L < 4:
+        masked = tuple(jnp.where(is_end, ln, jnp.uint32(SENTINEL))
+                       for ln in slanes)
+        out = jax.lax.sort(masked + (jnp.where(is_end, counts, 0),),
+                           num_keys=W, is_stable=False)
+        return tuple(out[:W]), out[W], jnp.zeros((), bool)
+    B = n // L
+    masked = tuple(jnp.where(is_end, ln, jnp.uint32(SENTINEL)).reshape(B, L)
+                   for ln in slanes)
+    cnts = jnp.where(is_end, counts, 0).reshape(B, L)
+    per_block = jnp.sum(is_end.reshape(B, L).astype(jnp.int32), axis=1)
+    spilled = jnp.any(per_block > C)
+    blk = jax.lax.sort(masked + (cnts,), num_keys=W, dimension=1,
+                       is_stable=False)
+    kept = tuple(o[:, :C].reshape(-1) for o in blk)
+    out = jax.lax.sort(kept[:W] + (kept[W],), num_keys=W,
+                       is_stable=False)
+    return tuple(out[:W]), out[W], spilled
+
+
+@jax.jit
+def count_lanes_hier(lanes):
+    """count_lanes_fused with the hierarchical compaction.
+
+    Returns (lanes, counts, n_unique, spilled); when spilled is True the
+    compaction dropped rows and the caller MUST redo it via
+    count_lanes_fused (full-sort compaction, always correct).
+    """
+    W = len(lanes)
+    slanes = jax.lax.sort(lanes, num_keys=W, is_stable=False)
+    is_end, counts = _marks_runlens(slanes)
+    clanes, ccounts, spilled = _compact_hierarchical(slanes, is_end, counts)
+    n_unique = jnp.sum(is_end.astype(jnp.int32))
+    return clanes, ccounts, n_unique, spilled
+
+
+@jax.jit
+def count_lanes_fused(lanes):
+    """Single-sort k-mer counting over ALL windows at once.
+
+    lanes: tuple of W 1-D u32 arrays (one per key word), SENTINEL rows =
+    invalid windows. ONE W-lane sort makes duplicate keys adjacent
+    (counts implicit — no payload in the big sort); run lengths fall out
+    of position arithmetic (pos at run end minus the previous end's pos,
+    recovered with an exclusive cummax — no segmented scan); a second
+    masked sort compacts the (unique key, count) rows to the front.
+    Sorting IS the TPU's gather: measured on v5e, a 1-D gather/scatter at
+    67M rows costs 1.5-3 s while a full 2-lane sort is 0.32 s, so both
+    the dedup and the compaction are sorts.
+
+    Replaces the chunked sort + log-structured fold (count_sorted_chunk +
+    TableAccumulator) whenever the whole window stream fits HBM: half the
+    total sorted rows, no fold, no per-chunk host syncs.
+
+    Returns (compact lanes tuple, counts u32 (0 past n_unique), n_unique).
+    """
+    W = len(lanes)
+    slanes = jax.lax.sort(lanes, num_keys=W, is_stable=False)
+    is_end, counts = _marks_runlens(slanes)
+    masked = tuple(jnp.where(is_end, ln, jnp.uint32(SENTINEL))
+                   for ln in slanes)
+    out = jax.lax.sort(masked + (counts,), num_keys=W, is_stable=False)
+    n_unique = jnp.sum(is_end.astype(jnp.int32))
+    return tuple(out[:W]), out[W], n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_packed_hier(words: jnp.ndarray, nmask: jnp.ndarray, k: int):
+    """ONE executable for the whole counting pipeline: unpack the 2-bit
+    upload, extract canonical k-mer lanes, sort, segment-count, and
+    hierarchically compact. A single dispatch matters over the device
+    tunnel, where each eager transfer/jit round trip costs tens of ms
+    (measured: 10 per-batch extract dispatches = 1.5 s of the round-3
+    pipeline's 3.5 s).
+
+    words/nmask are the row-concatenation of every batch's packed()
+    arrays. Returns (lanes, counts, n_unique, spilled) like
+    count_lanes_hier.
+    """
+    from .kmer import unpack_codes
+    return _count_codes_hier(unpack_codes(words, nmask), k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_packed_lens_hier(words: jnp.ndarray, lengths: jnp.ndarray, k: int):
+    """count_packed_hier for N-free read batches: the mask derives from
+    lengths on device, skipping the nmask upload (a third of the wire
+    bytes — the tunnel moves ~35-40 MB/s, so bytes ARE wall-clock)."""
+    from .kmer import unpack_codes_lens
+    return _count_codes_hier(unpack_codes_lens(words, lengths), k)
+
+
+def _count_codes_hier(codes, k: int):
+    keys, valid = extract_canonical_kmers(codes, k)
+    W = keys.shape[-1]
+    lanes = tuple(keys[..., w].reshape(-1) for w in range(W))
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    n = lanes[0].shape[0]
+    L = _COMPACT_BLOCK
+    if n % L:
+        pad = L - n % L
+        lanes = tuple(jnp.concatenate(
+            [ln, jnp.full((pad,), jnp.uint32(SENTINEL))]) for ln in lanes)
+    slanes = jax.lax.sort(lanes, num_keys=W, is_stable=False)
+    is_end, counts = _marks_runlens(slanes, n_valid)
+    clanes, ccounts, spilled = _compact_hierarchical(slanes, is_end, counts)
+    n_unique = jnp.sum(is_end.astype(jnp.int32))
+    # histogram in the SAME executable (one dispatch over the tunnel):
+    # the compaction preserves exactly the end rows' count values (zeros
+    # elsewhere map out of range in occurrence_histogram), and the
+    # compacted lane is n/4 rows, so this sort is cheap.
+    hist = occurrence_histogram(ccounts)
+    return clanes, ccounts, n_unique, spilled, hist
+
+
 @jax.jit
 def count_sorted_chunk(flat: jnp.ndarray):
     """Sort + dedup a chunk of raw canonical keys (SENTINEL = invalid).
@@ -334,7 +529,7 @@ def occurrence_histogram(counts: jnp.ndarray) -> jnp.ndarray:
     occ = jnp.where(counts > 0,
                     jnp.clip(counts, 0, MAX_OCCURRENCE).astype(jnp.uint32),
                     jnp.uint32(SENTINEL))
-    (socc,) = jax.lax.sort((occ,), num_keys=1)
+    (socc,) = jax.lax.sort((occ,), num_keys=1, is_stable=False)
     bounds = jnp.searchsorted(socc,
                               jnp.arange(MAX_OCCURRENCE + 2,
                                          dtype=jnp.uint32),

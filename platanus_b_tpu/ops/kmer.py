@@ -111,6 +111,19 @@ def unpack_codes(words: jnp.ndarray, nmask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(nb != 0, jnp.uint8(4), base)
 
 
+@jax.jit
+def unpack_codes_lens(words: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """unpack_codes for N-free reads: the mask derives from lengths alone
+    (cols >= length are padding), so the nmask upload — a third of the
+    wire bytes over the device tunnel — is skipped entirely."""
+    R, WW = words.shape
+    base = jnp.stack([(words >> np.uint32(30 - 2 * i)) & 3
+                      for i in range(16)], axis=-1).astype(jnp.uint8)
+    base = base.reshape(R, WW * 16)
+    pad = jnp.arange(WW * 16, dtype=jnp.int32)[None, :] >= lengths[:, None]
+    return jnp.where(pad, jnp.uint8(4), base)
+
+
 def kmer_to_codes(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     """Unpack (..., W) keys into (..., k) uint8 base codes (device-side)."""
     W = keys.shape[-1]
