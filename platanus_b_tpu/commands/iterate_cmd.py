@@ -126,6 +126,16 @@ def run(args) -> int:
             scaf_argv += ["-l", str(args.l)]
         if times == args.i and args.trim_overlap:
             scaf_argv.append("-trim_overlap")
+        # long reads / guide contigs join the scaffolding rounds once
+        # times >= numTimes/2 (iterate.cpp:359-368). (The reference also
+        # appears to forward -r there, iterate.cpp:344-346, but iterate
+        # never registers "-r" so that branch is dead code — and
+        # solve_DBG has no -r option to receive it.)
+        if times >= args.i // 2:
+            for flag, files in (("-p", args.p), ("-ont", args.ont),
+                                ("-gc", args.gc)):
+                if files:
+                    scaf_argv += [flag] + list(files)
         _call(scaf_argv, f"solve_dbg -unphase (round {times})")
 
         _call(["polish", "-c", f"{cur_dir}/{o}_consensusScaffold.fa",
@@ -139,10 +149,16 @@ def run(args) -> int:
         _call(gc_argv, f"gap_close (round {times})")
         prev_dir = cur_dir
 
-    # final divide + polish (iterate.cpp:401-458)
-    _call(["solve_dbg", "-divide_only",
-           "-c", f"{cur_dir}/{o}_gapClosed_polished_consensusScaffold.fa",
-           "-o", f"{cur_dir}/{o}_final"] + libargv, "final divide")
+    # final divide + polish (iterate.cpp:401-458); -p/-ont/-gc forward
+    # unconditionally here (iterate.cpp:418-426)
+    div_argv = ["solve_dbg", "-divide_only",
+                "-c", f"{cur_dir}/{o}_gapClosed_polished_consensusScaffold.fa",
+                "-o", f"{cur_dir}/{o}_final"] + libargv
+    for flag, files in (("-p", args.p), ("-ont", args.ont),
+                        ("-gc", args.gc)):
+        if files:
+            div_argv += [flag] + list(files)
+    _call(div_argv, "final divide")
     _call(["polish", "-c", f"{cur_dir}/{o}_final_divided.fa",
            "-o", f"{cur_dir}/{o}"] + libargv, "final polish")
 

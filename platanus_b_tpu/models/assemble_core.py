@@ -202,10 +202,18 @@ def count_reads(batches: list[ReadBatch], k: int) -> tuple[KmerTable, np.ndarray
                                       cnt.MAX_OCCURRENCE)).astype(np.uint32)
     from ..parallel import multihost as mh
     if mh.process_count() > 1:
-        # each host counted its own read slice (DCN ingest sharding);
-        # merge to the identical global table + histogram everywhere
-        keys_h, counts_h = mh.global_count_merge(keys_h, counts_h)
-        hist = np.asarray(cnt.occurrence_histogram(jnp.asarray(counts_h)))
+        # each host counted its own read slice (DCN ingest sharding).
+        # Key-range sharded merge (SURVEY §2.10 row 2): no host ever
+        # materializes the n-fold duplicated allgather concat — each
+        # reduces only its contiguous key range, histograms psum (every
+        # unique key lives in exactly one shard), and the final table is
+        # the in-host-order concat of the (already sorted, disjoint)
+        # shards.
+        sk, sc = mh.global_count_merge_sharded(keys_h, counts_h, k=k)
+        hist = mh.psum_histogram(np.asarray(
+            cnt.occurrence_histogram(jnp.asarray(sc)))).astype(np.int32)
+        keys_h = mh.all_hosts_concat(sk)
+        counts_h = mh.all_hosts_concat(sc).astype(np.uint32)
     return KmerTable(k, keys_h, counts_h), hist
 
 
@@ -296,14 +304,10 @@ def _revcomp_np(s: np.ndarray) -> np.ndarray:
     return np.where(out > 3, 4, out).astype(np.uint8)
 
 
-def extended_unitig_sequences(dbg: DBG, diff: int) -> tuple[list[np.ndarray], np.ndarray]:
-    """Per-unitig extended base sequences for re-k-merization.
-
-    Each unitig is extended through a flanking junction (1 base) and — when
-    the junction's far side has exactly one edge leading into a chain — up
-    to `diff` bases of the adjacent unitig (graph.h:1678-1751).
-    Returns (list of code arrays, coverages).
-    """
+def _extended_unitig_sequences_ref(dbg: DBG, diff: int) -> tuple[list[np.ndarray], np.ndarray]:
+    """Reference implementation of extended_unitig_sequences (scalar
+    per-unitig probes) — kept as the oracle for the vectorized version;
+    see extended_unitig_sequences for semantics."""
     u = dbg.label_unitigs()
     flat, offs, base_lens = dbg.unitig_sequences_flat()
 
@@ -398,6 +402,158 @@ def extended_unitig_sequences(dbg: DBG, diff: int) -> tuple[list[np.ndarray], np
     return ext_seqs, u.ucov
 
 
+def _ragged_fill(dst, dst_starts, lens, src, src_starts, step=1,
+                 comp=False) -> None:
+    """dst[dst_starts[i]+t] = src[src_starts[i] + step*t] (optionally
+    complemented) for t < lens[i] — the vectorized ragged copy that
+    replaces per-unitig Python slicing."""
+    lens = np.asarray(lens, dtype=np.int64)
+    sel = lens > 0
+    if not sel.any():
+        return
+    ds = np.asarray(dst_starts, dtype=np.int64)[sel]
+    ss = np.asarray(src_starts, dtype=np.int64)[sel]
+    ln = lens[sel]
+    cum = np.zeros(len(ln) + 1, np.int64)
+    cum[1:] = np.cumsum(ln)
+    within = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], ln)
+    dpos = np.repeat(ds, ln) + within
+    spos = np.repeat(ss, ln) + (within if step == 1 else -within)
+    v = src[spos]
+    if comp:
+        v = (3 - v).astype(np.uint8)
+    dst[dpos] = v
+
+
+def extended_unitig_sequences_flat(dbg: DBG, diff: int):
+    """Vectorized extended_unitig_sequences: per-unitig junction/far-side
+    probes as bulk numpy gathers, output as ONE flat base buffer.
+
+    Returns (flat uint8, offs (U,) int64, lens (U,) int64, ucov). The
+    scalar per-unitig loop (_extended_unitig_sequences_ref) cost O(U)
+    Python iterations with ~20 numpy calls each and dominated end-to-end
+    `assemble` wall clock (VERDICT r3 weak #2); this builds the same
+    bytes with a fixed number of O(total) array ops.
+    """
+    u = dbg.label_unitigs()
+    flat, offs, base_lens = dbg.unitig_sequences_flat()
+    U = u.num_unitigs
+    if U == 0:
+        return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), u.ucov)
+    si = np.asarray(dbg.topo[0])
+    so = np.asarray(dbg.topo[1])
+    od = np.asarray(dbg.topo[3])
+    isj = np.asarray(dbg.topo[4])
+    k = dbg.k
+    W = dbg.keys.shape[-1]
+
+    jidx = np.flatnonzero(isj)
+    jkeys = (np.asarray(dbg.keys[jnp.asarray(jidx)]) if len(jidx)
+             else np.zeros((0, W), np.uint32))
+    jrow = np.full(si.shape[0], -1, np.int64)
+    jrow[jidx] = np.arange(len(jidx))
+
+    def jbase_first(jn, orient):
+        """First base of junction jn's k-mer in `orient` (0 = canonical)."""
+        if len(jkeys) == 0:
+            return np.zeros(len(jn), np.uint8)
+        key = jkeys[jrow[np.clip(jn, 0, None)]]
+        g = 2 * (k - 1)
+        first = (key[:, W - 1 - g // 32] >> np.uint32(g % 32)) & 3
+        last = key[:, W - 1] & 3
+        return np.where(orient == 0, first, 3 - last).astype(np.uint8)
+
+    def jbase_last(jn, orient):
+        if len(jkeys) == 0:
+            return np.zeros(len(jn), np.uint8)
+        key = jkeys[jrow[np.clip(jn, 0, None)]]
+        g = 2 * (k - 1)
+        first = (key[:, W - 1 - g // 32] >> np.uint32(g % 32)) & 3
+        last = key[:, W - 1] & 3
+        return np.where(orient == 0, last, 3 - first).astype(np.uint8)
+
+    def probe(node, look):
+        """(has_j, jn, jt, has_far, uid2, fn_orient) for edge walks
+        node --look--> junction --jt--> far unitig."""
+        idx = np.arange(U)
+        cond_a = od[node, look] == 1
+        b = np.argmax(si[node, look, :] >= 0, axis=-1)
+        jn = si[node, look, b]
+        jt = so[node, look, b]
+        has_j = cond_a & (jn >= 0) & isj[np.clip(jn, 0, None)]
+        jn_c = np.clip(jn, 0, None)
+        cond_c = has_j & (od[jn_c, jt] == 1)
+        fb = np.argmax(si[jn_c, jt, :] >= 0, axis=-1)
+        fn = si[jn_c, jt, fb]
+        fo = so[jn_c, jt, fb]
+        fn_c = np.clip(fn, 0, None)
+        has_far = (cond_c & (fn >= 0) & ~isj[fn_c]
+                   & (u.uid[fn_c] >= 0))
+        del idx
+        return has_j, jn_c, jt, has_far, fn_c, fo
+
+    # ---- left (head) side: walk head --(1-ho)--> junction --> far
+    hi = u.uhead >> 1
+    ho = u.uhead & 1
+    hasL, jnL, jtL, farL, fnL, foL = probe(hi, 1 - ho)
+    jbL = jbase_first(jnL, 1 - jtL)
+    uid2L = u.uid[fnL]
+    exL = np.where(farL, np.minimum(u.ulen[np.clip(uid2L, 0, None)], diff),
+                   0).astype(np.int64)
+    # orientation of the far unitig: stored tail == (fn, 1-fo) -> direct
+    tL = u.utail[np.clip(uid2L, 0, None)]
+    sameL = ((tL >> 1) == fnL) & ((tL & 1) == (1 - foL))
+
+    # ---- right (tail) side: walk tail --to--> junction --> far
+    ti = u.utail >> 1
+    to = u.utail & 1
+    hasR, jnR, jtR, farR, fnR, foR = probe(ti, to)
+    jbR = jbase_last(jnR, jtR)
+    uid2R = u.uid[fnR]
+    exR = np.where(farR, np.minimum(u.ulen[np.clip(uid2R, 0, None)], diff),
+                   0).astype(np.int64)
+    tR = u.utail[np.clip(uid2R, 0, None)]
+    sameR = ((tR >> 1) == fnR) & ((tR & 1) == (1 - foR))
+
+    hL = hasL.astype(np.int64)
+    hR = hasR.astype(np.int64)
+    ext_lens = exL + hL + base_lens + hR + exR
+    ext_offs = np.zeros(U, np.int64)
+    ext_offs[1:] = np.cumsum(ext_lens)[:-1]
+    out = np.empty(int(ext_lens.sum()), np.uint8)
+
+    o2L = offs[np.clip(uid2L, 0, None)]
+    l2L = base_lens[np.clip(uid2L, 0, None)]
+    # left far part: direct slice s2[len2-(k-1)-ex : len2-(k-1)] when the
+    # stored orientation already ends at (fn, 1-fo); else the
+    # reverse-complement of s2[(k-1) : (k-1)+ex]
+    _ragged_fill(out, ext_offs, np.where(sameL, exL, 0),
+                 flat, o2L + l2L - (k - 1) - exL)
+    _ragged_fill(out, ext_offs, np.where(~sameL, exL, 0),
+                 flat, o2L + (k - 1) + exL - 1, step=-1, comp=True)
+    # left junction base
+    posL = ext_offs + exL
+    out[posL[hasL]] = jbL[hasL]
+    # the unitig's own bases
+    mid = ext_offs + exL + hL
+    _ragged_fill(out, mid, base_lens, flat, offs)
+    # right junction base
+    posR = mid + base_lens
+    out[posR[hasR]] = jbR[hasR]
+    # right far part: t_seq oriented with fn FIRST = rc of "fn last";
+    # stored-tail match means rc-of-stored -> reversed complement slice,
+    # else direct s2[(k-1) : (k-1)+ex]
+    o2R = offs[np.clip(uid2R, 0, None)]
+    l2R = base_lens[np.clip(uid2R, 0, None)]
+    startR = posR + hR
+    _ragged_fill(out, startR, np.where(sameR, exR, 0),
+                 flat, o2R + l2R - k, step=-1, comp=True)
+    _ragged_fill(out, startR, np.where(~sameR, exR, 0),
+                 flat, o2R + (k - 1))
+    return out, ext_offs, ext_lens, u.ucov
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _contig_kmer_group(mat: jnp.ndarray, occv: jnp.ndarray, k: int):
     """Jitted: canonical k-mers of padded contig rows with per-row
@@ -427,32 +583,43 @@ def save_contig_next_k(dbg: DBG, next_k: int, occurrence_ratio: float) -> KmerTa
 
     SEG = 4096
     diff = next_k - dbg.k
-    ext_seqs, ucov = extended_unitig_sequences(dbg, diff)
+    flat_ext, ext_offs, ext_lens, ucov = \
+        extended_unitig_sequences_flat(dbg, diff)
     occs = np.minimum((ucov * occurrence_ratio + 0.5).astype(np.uint32),
                       cnt.MAX_OCCURRENCE)
     step = SEG - (next_k - 1)
-    segs: list[tuple[int, int, int]] = []   # (seq idx, start, length)
-    for i, s in enumerate(ext_seqs):
-        if len(s) < next_k:
-            continue
-        for st in range(0, max(len(s) - (next_k - 1), 1), step):
-            segs.append((i, st, min(SEG, len(s) - st)))
-    if not segs:
+    U = len(ext_lens)
+    # vectorized chopping: unitig i yields ceil(max(len-(K-1),1)/step)
+    # segments at starts 0, step, 2*step, ...
+    nseg = np.where(ext_lens >= next_k,
+                    -(-np.maximum(ext_lens - (next_k - 1), 1) // step), 0)
+    total_segs = int(nseg.sum())
+    if total_segs == 0:
         return KmerTable(next_k, np.zeros((0, num_words(next_k)), np.uint32),
                          np.zeros((0,), np.uint32))
+    cum = np.zeros(U + 1, np.int64)
+    cum[1:] = np.cumsum(nseg)
+    seg_u = np.repeat(np.arange(U), nseg)
+    seg_start = (np.arange(total_segs, dtype=np.int64)
+                 - np.repeat(cum[:-1], nseg)) * step
+    seg_len = np.minimum(SEG, ext_lens[seg_u] - seg_start)
+    seg_off = ext_offs[seg_u] + seg_start
+
     W = num_words(next_k)
     acc = cnt.TableAccumulator(W, rule="max")
     MAX_ROWS = (16 << 20) // SEG
-    pos = 0
-    while pos < len(segs):
-        group = segs[pos: pos + MAX_ROWS]
-        pos += len(group)
-        rows = min(next_pow2(len(group), minimum=8), MAX_ROWS)
+    col = np.arange(SEG, dtype=np.int64)[None, :]
+    for g0 in range(0, total_segs, MAX_ROWS):
+        g1 = min(g0 + MAX_ROWS, total_segs)
+        rows = min(next_pow2(g1 - g0, minimum=8), MAX_ROWS)
+        src = seg_off[g0:g1, None] + col
+        valid = col < seg_len[g0:g1, None]
         mat = np.full((rows, SEG), 4, dtype=np.uint8)
+        mat[: g1 - g0] = np.where(valid,
+                                  flat_ext[np.clip(src, 0,
+                                                   len(flat_ext) - 1)], 4)
         occv = np.zeros((rows,), np.uint32)
-        for r, (i, st, ln) in enumerate(group):
-            mat[r, :ln] = ext_seqs[i][st: st + ln]
-            occv[r] = occs[i]
+        occv[: g1 - g0] = occs[seg_u[g0:g1]]
         uk, uv, n = _contig_kmer_group(jnp.asarray(mat),
                                        jnp.asarray(occv), next_k)
         acc.add(uk, uv, int(n))
@@ -700,19 +867,24 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
         else:
             dev_keys, dev_counts, dev_n, hist = count_reads_device(
                 batches, k0)
+    shard = None
     if mh.process_count() > 1:
-        # merge the per-host tables into the identical global table on
-        # every host BEFORE deriving the cutoff/average (each host counted
-        # only its ingest slice); the histogram recomputes from the merged
-        # counts, which is equivalent to a cross-host histogram psum
+        # key-range sharded merge (SURVEY §2.10 row 2): this host keeps
+        # ONLY its contiguous key-range slice of the raw table (~1/n of
+        # the global table — the raw table, dominated by error
+        # singletons, never replicates). The global histogram is the
+        # psum of per-slice histograms (each unique key lives in exactly
+        # one slice); only the CUTOFF-FILTERED slices are re-gathered
+        # below for graph construction, after the singletons are gone.
         keys_h = np.asarray(dev_keys[:dev_n])
-        counts_h = np.asarray(dev_counts[:dev_n])
-        keys_h, counts_h = mh.global_count_merge(keys_h, counts_h)
-        from ..ops.padding import pad_pow2
-        dev_keys = jnp.asarray(pad_pow2(keys_h, np.uint32(0xFFFFFFFF)))
-        dev_counts = jnp.asarray(pad_pow2(counts_h.astype(np.uint32), 0))
-        dev_n = len(keys_h)
-        hist = np.asarray(cnt.occurrence_histogram(dev_counts))
+        counts_h = np.asarray(jnp.minimum(
+            dev_counts[:dev_n], cnt.MAX_OCCURRENCE)).astype(np.uint32)
+        del dev_keys, dev_counts
+        sk, sc = mh.global_count_merge_sharded(keys_h, counts_h, k=k0)
+        del keys_h, counts_h
+        hist = mh.psum_histogram(np.asarray(
+            cnt.occurrence_histogram(jnp.asarray(sc)))).astype(np.int32)
+        shard = (sk, sc)
     hist0 = hist
 
     cutoff0 = cnt.coverage_cutoff(hist, manual=opts.manual_cutoff,
@@ -733,15 +905,28 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
         opts.min_coverage, k0, cutoff0, opts.step, opts.max_k_ratio)
 
     if opts.kmer_occ_only:
-        # materialize the device table only on this export-only path
-        keys_h = np.asarray(dev_keys[:dev_n])
-        counts_h = np.asarray(jnp.minimum(dev_counts[:dev_n],
-                                          cnt.MAX_OCCURRENCE)).astype(np.uint32)
-        table = KmerTable(k0, keys_h, counts_h)
+        # materialize the table only on this export-only path
+        if shard is not None:
+            table = KmerTable(k0, mh.all_hosts_concat(shard[0]),
+                              mh.all_hosts_concat(shard[1]).astype(np.uint32))
+        else:
+            keys_h = np.asarray(dev_keys[:dev_n])
+            counts_h = np.asarray(jnp.minimum(
+                dev_counts[:dev_n], cnt.MAX_OCCURRENCE)).astype(np.uint32)
+            table = KmerTable(k0, keys_h, counts_h)
         return AssembleResult([], [], [], [], [], average_length, k0,
                               kmer_table=table, hist0=hist0, k0=k0)
 
-    dbg = build_dbg_from_device(k0, dev_keys, dev_counts, dev_n, cutoffs[0])
+    if shard is not None:
+        # cutoff-filter each slice locally, THEN gather: the replicated
+        # graph build sees only the filtered (error-free) table
+        sk, sc = shard
+        keep = sc >= cutoffs[0]
+        dbg = DBG(k0, mh.all_hosts_concat(sk[keep]),
+                  mh.all_hosts_concat(sc[keep]).astype(np.uint32))
+    else:
+        dbg = build_dbg_from_device(k0, dev_keys, dev_counts, dev_n,
+                                    cutoffs[0])
     clean.cut_branch_iterative(dbg, opts.branch_threshold)
     if not opts.fixed_average_coverage:
         average_coverage = clean.average_coverage_excluding_bubble(dbg)

@@ -238,20 +238,74 @@ def global_count_merge_sharded(keys: np.ndarray, counts: np.ndarray,
     if n == 1:
         return reduce_local(keys, counts)
     dest = shard_range_of(keys, n, k)
-    my_keys = my_counts = None
+    order = np.argsort(dest, kind="stable")
+    dest_counts = np.bincount(dest, minlength=n).astype(np.int64)
+    payload = np.concatenate(
+        [keys[order].astype(np.uint32),
+         np.minimum(counts[order], max_occurrence).astype(np.uint32)[:, None]],
+        axis=1)
+    try:
+        mine = _all_to_all_exchange(payload, dest_counts, i, n)
+    except Exception:
+        # fallback: per-destination allgather rounds (n x the traffic of
+        # the all_to_all path, but only multihost_utils primitives)
+        my_keys = my_counts = None
+        for d in range(n):
+            sel = dest == d
+            rows = np.concatenate([keys[sel].astype(np.uint64),
+                                   counts[sel][:, None]], axis=1)
+            parts = _ragged_allgather(rows)
+            if d != i:
+                continue
+            allrows = np.concatenate(parts, axis=0)
+            my_keys = allrows[:, :-1].astype(keys.dtype)
+            my_counts = allrows[:, -1].astype(np.uint64)
+        return reduce_local(my_keys, my_counts)
+    return reduce_local(mine[:, :-1].astype(keys.dtype),
+                        mine[:, -1].astype(np.uint64))
+
+
+def _all_to_all_exchange(payload: np.ndarray, dest_counts: np.ndarray,
+                         i: int, n: int) -> np.ndarray:
+    """Route payload rows (grouped by destination, sizes in dest_counts)
+    to their destination hosts with ONE device all_to_all over a
+    process-spanning mesh. Each range crosses DCN exactly once — the
+    per-destination allgather fallback ships every range to every host
+    (n x the bytes). Returns this host's received rows (src order)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    C = np.asarray(multihost_utils.process_allgather(dest_counts))
+    C = C.reshape(n, n)
+    cap = max(int(C.max()), 1)
+    Wp = payload.shape[1]
+    send = np.zeros((1, n, cap, Wp), np.uint32)
+    starts = np.zeros(n + 1, np.int64)
+    starts[1:] = np.cumsum(dest_counts)
     for d in range(n):
-        sel = dest == d
-        # ship a combined (rows, W+1) u64 payload; _ragged_allgather
-        # handles the per-host row-count mismatch
-        rows = np.concatenate([keys[sel].astype(np.uint64),
-                               counts[sel][:, None]], axis=1)
-        parts = _ragged_allgather(rows)
-        if d != i:
-            continue
-        allrows = np.concatenate(parts, axis=0)
-        my_keys = allrows[:, :-1].astype(keys.dtype)
-        my_counts = allrows[:, -1].astype(np.uint64)
-    return reduce_local(my_keys, my_counts)
+        send[0, d, : dest_counts[d]] = payload[starts[d]: starts[d + 1]]
+
+    devs = [next(d for d in jax.devices() if d.process_index == p)
+            for p in range(n)]
+    mesh = Mesh(np.array(devs), ("h",))
+    sh = NamedSharding(mesh, PartitionSpec("h"))
+    garr = jax.make_array_from_process_local_data(sh, send, (n, n, cap, Wp))
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older JAX spelling
+        from jax.experimental.shard_map import shard_map
+
+    def exchange(x):  # x: (1, n, cap, Wp) per device
+        return jax.lax.all_to_all(x, "h", split_axis=1, concat_axis=0)
+
+    out = jax.jit(shard_map(
+        exchange, mesh=mesh, in_specs=PartitionSpec("h"),
+        out_specs=PartitionSpec(None, "h")))(garr)
+    local = np.asarray(list(out.addressable_shards)[0].data)  # (n,1,cap,Wp)
+    recv = local.reshape(n, cap, Wp)
+    return np.concatenate([recv[src, : C[src, i]] for src in range(n)],
+                          axis=0)
 
 
 def psum_histogram(local: np.ndarray) -> np.ndarray:

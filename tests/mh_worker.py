@@ -69,6 +69,17 @@ def main():
         h = mh.psum_histogram(np.asarray([1, 2, 3], np.int64)
                               * (mh.process_index() + 1))
         result["psum"] = [int(x) for x in h]
+
+        # --- REAL production assemble() at process_count()==2: sharded
+        # merge + psum histogram + filtered gather, then the replicated
+        # graph pipeline. Contig set must equal the single-process run.
+        from platanus_b_tpu.models.assemble_core import (AssembleOptions,
+                                                         assemble)
+        res = assemble(batches, AssembleOptions(k=15))
+        canon = sorted(
+            min(bytes(c), bytes((3 - c)[::-1])) for c in res.contigs)
+        result["n_contigs"] = len(canon)
+        result["contig_sha"] = hashlib.sha256(b"|".join(canon)).hexdigest()
         result["ok"] = True
     except Exception as e:  # surfaced to the parent for skip/fail decision
         result["ok"] = False

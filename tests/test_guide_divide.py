@@ -83,3 +83,72 @@ def test_divide_bubble_contig_protected():
     g2.opposite_bubble_contig_id[5] = 3
     n2 = divide_using_guide_graph(g2, guide, bubble_divide=True)
     assert n2 >= 1
+
+
+def test_fill_majority_score_factor_nonzero():
+    """Pin the fillMajorityIDRun trim recurrence at score_factor != 0
+    against a literal port of pairedDBG.cpp:2987-3021: maxScore stays 0
+    (score > 0 clamps back to 0 and records the cut)."""
+    from platanus_b_tpu.models.divide import _fill_majority_id_run
+
+    def oracle(ids, lens, ends, sf):
+        # literal transcription of the reference recurrence
+        acc = {}
+        for i in range(ends[0], ends[1]):
+            v = ids[i]
+            if v:
+                acc[v] = acc.get(v, 0) + int(lens[abs(v) - 1])
+        max_id = 0
+        best = 0
+        for v, c in acc.items():
+            if c > best:
+                max_id, best = v, c
+        if max_id == 0:
+            return ends
+        lo, hi = ends
+        for i in range(ends[0], ends[1]):
+            if ids[i] == max_id:
+                lo = i
+                break
+        for i in range(ends[1] - 1, ends[0] - 1, -1):
+            if ids[i] == max_id:
+                hi = i + 1
+                break
+        score = max_score = 0
+        cut = lo
+        for i in range(lo, hi):
+            if score > max_score:
+                score = max_score
+                cut = i
+            if ids[i]:
+                if ids[i] == max_id:
+                    score -= int(lens[abs(ids[i]) - 1])
+                else:
+                    score += int(lens[abs(ids[i]) - 1] * sf)
+        lo = cut
+        score = max_score = 0
+        cut = hi - 1
+        for i in range(hi - 1, lo, -1):
+            if score > max_score:
+                score = max_score
+                cut = i
+            if ids[i]:
+                if ids[i] == max_id:
+                    score -= int(lens[abs(ids[i]) - 1])
+                else:
+                    score += int(lens[abs(ids[i]) - 1] * sf)
+        hi = cut + 1
+        for i in range(lo, hi):
+            ids[i] = max_id
+        return lo, hi
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        n = int(rng.integers(3, 20))
+        lens = rng.integers(50, 1000, size=8)
+        ids = [int(v) for v in rng.integers(-4, 5, size=n)]
+        for sf in (0.0, 0.5, 1.0, 2.0):
+            a, b = list(ids), list(ids)
+            ra = _fill_majority_id_run(a, lens, (0, n), sf)
+            rb = oracle(b, lens, (0, n), sf)
+            assert ra == rb and a == b

@@ -37,3 +37,43 @@ def test_iterate_e2e(rng, tmp_path, monkeypatch):
     for part in body.split():
         if len(part) >= 100:
             assert part in genome or simdata.rc(part) in genome
+
+
+def test_iterate_forwards_long_reads(rng, tmp_path, monkeypatch):
+    """-p/-ont/-gc must reach the solve_dbg rounds with times >= i//2 and
+    the final divide (iterate.cpp:359-368,418-426)."""
+    monkeypatch.chdir(tmp_path)
+    genome = simdata.random_genome(rng, 6000)
+    contigs = [genome[0:2800], genome[3000:6000]]
+    with open("start_contig.fa", "w") as f:
+        for i, c in enumerate(contigs):
+            f.write(f">seq{i+1}_len{len(c)}_cov40_read100_maxK32\n{c}\n")
+    fwd, rev = simdata.paired_reads(rng, genome, read_len=100, insert=500,
+                                    sd=50, coverage=40.0, error_rate=0.002)
+    simdata.write_fasta("r1.fa", fwd)
+    simdata.write_fasta("r2.fa", rev)
+    longs = simdata.long_reads(rng, genome, mean_len=3000, coverage=6.0,
+                               error_rate=0.02)
+    simdata.write_fasta("lr.fa", longs)
+
+    calls = []
+    import platanus_b_tpu.commands.iterate_cmd as ic
+    orig = ic._call
+
+    def spy(argv, stage):
+        calls.append((list(argv), stage))
+        return orig(argv, stage)
+
+    monkeypatch.setattr(ic, "_call", spy)
+    rc = cli_main(["iterate", "-o", "it", "-c", "start_contig.fa",
+                   "-i", "2", "-IP1", "r1.fa", "r2.fa", "-ont", "lr.fa"])
+    assert rc == 0
+    scaf_calls = [a for a, s in calls if a[0] == "solve_dbg"
+                  and "-unphase" in a]
+    assert len(scaf_calls) == 2
+    # i=2: round 1 >= 2//2 -> BOTH rounds carry -ont here
+    for a in scaf_calls:
+        assert "-ont" in a and "lr.fa" in a
+    div_calls = [a for a, s in calls if a[0] == "solve_dbg"
+                 and "-divide_only" in a]
+    assert len(div_calls) == 1 and "-ont" in div_calls[0]

@@ -128,3 +128,22 @@ def test_histogram_psum(worker_results):
     # host0 sends [1,2,3], host1 [2,4,6] -> sum [3,6,9] everywhere
     assert results[0]["psum"] == [3, 6, 9]
     assert results[1]["psum"] == [3, 6, 9]
+
+
+def test_assemble_2proc_matches_single_process(worker_results):
+    """The PRODUCTION assemble() path at process_count()==2 (sharded
+    merge + psum histogram + filtered gather) must produce the exact
+    contig set of a single-process run (VERDICT r3 task 4)."""
+    results, fasta = worker_results
+    assert results[0]["contig_sha"] == results[1]["contig_sha"]
+    sys.path.insert(0, REPO)
+    from platanus_b_tpu.io.reads import load_read_batches
+    from platanus_b_tpu.models.assemble_core import (AssembleOptions,
+                                                     assemble)
+    batches = list(load_read_batches([str(fasta)]))
+    res = assemble(batches, AssembleOptions(k=15))
+    canon = sorted(min(bytes(c), bytes((3 - c)[::-1]))
+                   for c in res.contigs)
+    sha = hashlib.sha256(b"|".join(canon)).hexdigest()
+    assert results[0]["n_contigs"] == len(canon) > 0
+    assert results[0]["contig_sha"] == sha
