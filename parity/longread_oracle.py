@@ -193,11 +193,108 @@ def case_mt(tmp):
     }
 
 
+def _mutate(rng, seq, sub, indel):
+    seq = seq.copy()
+    m = rng.random(len(seq)) < sub
+    seq[m] = (seq[m] + rng.integers(1, 4, size=int(m.sum()))) % 4
+    keep = rng.random(len(seq)) >= indel / 2
+    seq = seq[keep]
+    ins = np.flatnonzero(rng.random(len(seq)) < indel / 2)
+    return np.insert(seq, ins, rng.integers(0, 4, size=len(ins))
+                     .astype(np.uint8))
+
+
+def case_asm10_corpus(tmp):
+    """Assembly-vs-assembly corpus (the combine-mode input shape,
+    scripts/combinatorial_gap_close.pl:55): a 500 kb genome assembled two
+    ways — target contigs exact, query contigs diverged 3-8% with
+    different boundaries, some reversed, plus unrelated contigs and one
+    chimera with an unrelated middle (the z-drop case)."""
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, size=500_000, dtype=np.uint8)
+
+    def split(points):
+        return [genome[a:b].copy() for a, b in zip(points[:-1], points[1:])]
+
+    t_cuts = [0] + sorted(rng.integers(20_000, 480_000, size=9).tolist()) \
+        + [500_000]
+    targets = split(t_cuts)
+    tnames = [f"t{i}" for i in range(len(targets))]
+
+    q_cuts = [0] + sorted(rng.integers(20_000, 480_000, size=14).tolist()) \
+        + [500_000]
+    queries, qnames = [], []
+    for i, (a, b) in enumerate(zip(q_cuts[:-1], q_cuts[1:])):
+        div = float(rng.uniform(0.02, 0.06))
+        q = _mutate(rng, genome[a:b], div, div / 2)
+        if rng.random() < 0.3:
+            q = (3 - q)[::-1]
+        queries.append(q.astype(np.uint8))
+        qnames.append(f"q{i}")
+    # unrelated contigs + a chimera with unrelated middle
+    queries.append(rng.integers(0, 4, size=30_000, dtype=np.uint8))
+    qnames.append("junk0")
+    chim = np.concatenate([
+        _mutate(rng, genome[100_000:115_000], 0.04, 0.02),
+        rng.integers(0, 4, size=15_000, dtype=np.uint8),
+        _mutate(rng, genome[115_000:130_000], 0.04, 0.02)])
+    queries.append(chim.astype(np.uint8))
+    qnames.append("chimera0")
+
+    t_fa = os.path.join(tmp, "asmA.fa")
+    q_fa = os.path.join(tmp, "asmB.fa")
+    write_fasta(t_fa, tnames, targets)
+    write_fasta(q_fa, qnames, queries)
+    mm2 = run_minimap2("asm10", t_fa, q_fa)
+    mm2_g = scaffold_grade(mm2)
+    ours = ours_records(targets, tnames, queries, qnames, "asm10")
+    ours_g = scaffold_grade(ours)
+    rec, d_mean, d_sd = recovery(mm2_g, ours)
+    # block-extent agreement on matched scaffold-grade records
+    ours_by_q = {}
+    for r in ours_g:
+        ours_by_q.setdefault(r["q"], []).append(r)
+    extent_deltas = []
+    for m in mm2_g:
+        best = None
+        for r in ours_by_q.get(m["q"], []):
+            if r["t"] != m["t"] or r["strand"] != m["strand"]:
+                continue
+            ov = min(r["te"], m["te"]) - max(r["ts"], m["ts"])
+            if ov > 0 and (best is None or ov > best[0]):
+                best = (ov, r)
+        if best:
+            r = best[1]
+            extent_deltas.append(
+                (abs(r["ts"] - m["ts"]) + abs(r["te"] - m["te"]))
+                / max(m["block"], 1))
+    # false chimera bridging: no scaffold-grade record of ours may span
+    # the chimera's unrelated middle at low identity
+    chim_bad = sum(1 for r in ours_g
+                   if r["q"] == "chimera0" and r["qe"] - r["qs"] > 20_000
+                   and r["matches"] / max(r["block"], 1) < 0.8)
+    return {
+        "preset": "asm10", "inputs": "two 500kb assemblies, 3-8% diverged",
+        "mm2_records": len(mm2), "mm2_scaffold_grade_records": len(mm2_g),
+        "ours_records": len(ours), "ours_scaffold_grade": len(ours_g),
+        "recovery_scaffold_grade": round(rec, 4),
+        "identity_delta_mean": round(d_mean, 4),
+        "identity_delta_sd": round(d_sd, 4),
+        "extent_delta_mean_frac": round(float(np.mean(extent_deltas)), 4)
+        if extent_deltas else None,
+        "n_extent_matched": len(extent_deltas),
+        "low_identity_chimera_spans": chim_bad,
+    }
+
+
 def main():
     assert os.path.exists(MM2), f"build minimap2 first: {MM2}"
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # fidelity run, not a race
     tmp = "/tmp/longread_oracle"
     os.makedirs(tmp, exist_ok=True)
-    out = {"ont": case_ont(tmp), "mt": case_mt(tmp)}
+    out = {"ont": case_ont(tmp), "mt": case_mt(tmp),
+           "asm10_corpus": case_asm10_corpus(tmp)}
     path = os.path.join(REPO, "parity", "LONGREAD_fidelity.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

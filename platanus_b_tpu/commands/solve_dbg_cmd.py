@@ -90,15 +90,32 @@ def load_contigs(paths: list[str]):
 
 def join_unambiguous_overlaps(graph: ScaffoldGraph) -> None:
     """Overlap-chain join (simplified joinUnambiguousNodePair in
-    OVERLAP_MODE, pairedDBG.cpp:1331-1431): merge node pairs connected by a
-    contig-end overlap that is unique on both sides."""
-    # oriented ends: key (node_id signed as 'extends right end of id')
+    OVERLAP_MODE, pairedDBG.cpp:1331-1431): merge NODE pairs connected by
+    an end-contig overlap that is unique on both sides.
+
+    Works at node level (a node may already hold several contigs after an
+    earlier join or scaffolding round): contig-end overlaps only count
+    when the contigs sit at the facing ends of their nodes.
+    """
+    rend: dict[int, int] = {}   # oriented contig at a node's RIGHT end
+    lend: dict[int, int] = {}   # oriented contig at a node's LEFT end
+    for ni, node in enumerate(graph.node, start=1):
+        if not node.contigs:
+            continue
+        first, last = node.contigs[0][0], node.contigs[-1][0]
+        lend[first] = ni
+        rend[last] = ni
+        lend[-last] = -ni
+        rend[-first] = -ni
     out_deg: dict[int, list] = {}
     for (a, b), ov in graph.overlap_table.items():
         if ov < graph.min_overlap:
             continue
-        out_deg.setdefault(a, []).append((b, ov))      # a's right -> b's left
-        out_deg.setdefault(-b, []).append((-a, ov))    # reverse strand
+        A, B = rend.get(a), lend.get(b)
+        if A is None or B is None or abs(A) == abs(B):
+            continue
+        out_deg.setdefault(A, []).append((B, ov))      # A's right -> B's left
+        out_deg.setdefault(-B, []).append((-A, ov))    # reverse strand
     nxt = {}
     for a, lst in out_deg.items():
         if len(lst) != 1:
@@ -108,7 +125,8 @@ def join_unambiguous_overlaps(graph: ScaffoldGraph) -> None:
         if len(back) == 1:
             nxt[a] = (b, ov)
 
-    used = np.zeros(graph.num_contig, dtype=bool)
+    num_nodes = len(graph.node)
+    used = np.zeros(num_nodes, dtype=bool)
     chains = []
     for start in list(nxt):
         if used[abs(start) - 1]:
@@ -140,17 +158,18 @@ def join_unambiguous_overlaps(graph: ScaffoldGraph) -> None:
     if not chains:
         return
     new_nodes = []
-    for i in range(graph.num_contig):
+    for i in range(num_nodes):
         if not used[i]:
             new_nodes.append(list(graph.node[i].contigs))
     for chain in chains:
         parts = []
         pos = 0
-        for cid, ov in chain:
-            ln = len(graph.contig[abs(cid) - 1])
-            pos -= ov
-            parts.append((cid, pos, pos + ln))
-            pos += ln
+        for nid, ov in chain:
+            shift = pos - ov
+            nparts = graph._oriented_parts(nid)
+            parts.extend((cid, st + shift, ed + shift)
+                         for cid, st, ed in nparts)
+            pos = shift + graph.node[abs(nid) - 1].length
         new_nodes.append(parts)
     graph._remake(new_nodes)
     LOG.counter("NUM_JOINED_CHAINS", len(chains))

@@ -718,28 +718,35 @@ def count_considering_previous(contig_table: KmerTable,
     NOT in the contig table are counted normally; result is the union."""
     from ..ops.padding import pad_pow2
     k = contig_table.k
-    read_table, _ = count_reads(batches, k)
-    if len(read_table) and len(contig_table):
-        ct = jnp.asarray(pad_pow2(contig_table.keys, np.uint32(0xFFFFFFFF)))
-        rt = jnp.asarray(pad_pow2(read_table.keys, np.uint32(0xFFFFFFFF)))
-        idx = np.asarray(lookup(ct, rt, len(contig_table)))[: len(read_table)]
-        new = idx < 0
-        rk, rc = read_table.keys[new], read_table.counts[new]
-    else:
-        rk, rc = read_table.keys, read_table.counts
-    if len(contig_table) == 0:
-        merged_k, merged_c = rk, rc
-    elif len(rk) == 0:
-        merged_k, merged_c = contig_table.keys, contig_table.counts
-    else:
-        mk, mc, mn = cnt.merge_counts(
-            jnp.asarray(pad_pow2(contig_table.keys, np.uint32(0xFFFFFFFF))),
-            jnp.asarray(pad_pow2(contig_table.counts, 0)),
-            jnp.asarray(pad_pow2(rk, np.uint32(0xFFFFFFFF))),
-            jnp.asarray(pad_pow2(rc, 0)))
-        merged_k, merged_c = cnt.compact_host(mk, mc, mn)
-    merged_c = np.minimum(merged_c, cnt.MAX_OCCURRENCE).astype(np.uint32)
-    hist = np.asarray(cnt.occurrence_histogram(jnp.asarray(merged_c)))
+    with LOG.stage("    recount: count reads"):
+        read_table, _ = count_reads(batches, k)
+    with LOG.stage("    recount: prev-table lookup"):
+        if len(read_table) and len(contig_table):
+            ct = jnp.asarray(pad_pow2(contig_table.keys,
+                                      np.uint32(0xFFFFFFFF)))
+            rt = jnp.asarray(pad_pow2(read_table.keys,
+                                      np.uint32(0xFFFFFFFF)))
+            idx = np.asarray(lookup(ct, rt,
+                                    len(contig_table)))[: len(read_table)]
+            new = idx < 0
+            rk, rc = read_table.keys[new], read_table.counts[new]
+        else:
+            rk, rc = read_table.keys, read_table.counts
+    with LOG.stage("    recount: merge"):
+        if len(contig_table) == 0:
+            merged_k, merged_c = rk, rc
+        elif len(rk) == 0:
+            merged_k, merged_c = contig_table.keys, contig_table.counts
+        else:
+            mk, mc, mn = cnt.merge_counts(
+                jnp.asarray(pad_pow2(contig_table.keys,
+                                     np.uint32(0xFFFFFFFF))),
+                jnp.asarray(pad_pow2(contig_table.counts, 0)),
+                jnp.asarray(pad_pow2(rk, np.uint32(0xFFFFFFFF))),
+                jnp.asarray(pad_pow2(rc, 0)))
+            merged_k, merged_c = cnt.compact_host(mk, mc, mn)
+        merged_c = np.minimum(merged_c, cnt.MAX_OCCURRENCE).astype(np.uint32)
+        hist = np.asarray(cnt.occurrence_histogram(jnp.asarray(merged_c)))
     return KmerTable(k, merged_k, merged_c), hist
 
 

@@ -144,18 +144,29 @@ def _adjacency_kernel(keys: jnp.ndarray, alive: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _doubling_rank(ptr, rank, anchor, iters):
+    """Adaptive pointer-doubling list ranking: early-exits once every
+    chain pointer has died (gathers are the TPU's weakest op — measured
+    68 ms PER 4M-row gather — so doubling rounds beyond log2(longest
+    chain) are pure waste; `iters` is only the safety cap). Cycle nodes
+    never die, so with cycles present the loop runs to the cap."""
     m = ptr.shape[0]
 
-    def body(_, state):
-        ptr, rank, anchor = state
+    def cond(state):
+        it, ptr, rank, anchor = state
+        return (it < iters) & jnp.any(ptr >= 0)
+
+    def body(state):
+        it, ptr, rank, anchor = state
         has = ptr >= 0
         p = jnp.clip(ptr, 0, m - 1)
         rank = jnp.where(has, rank + rank[p], rank)
         anchor = jnp.where(has, anchor[p], anchor)
         ptr = jnp.where(has, ptr[p], ptr)
-        return ptr, rank, anchor
+        return it + 1, ptr, rank, anchor
 
-    return jax.lax.fori_loop(0, iters, body, (ptr, rank, anchor))
+    _, ptr, rank, anchor = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), ptr, rank, anchor))
+    return ptr, rank, anchor
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -180,41 +191,57 @@ def _label_kernel(succ_idx, succ_orient, outdeg, is_junction, alive, counts,
     nt = nxt[twin]
     prv = jnp.where(nt >= 0, nt ^ 1, INVALID)
 
-    # cycle detection + mirror-consistent canonical cut: edge (j -> nxt[j])
-    # and its strand mirror share the sorted id pair {j, nxt[j]^1}; cutting
-    # the lexicographically smallest pair picks the same physical cut on
-    # both strands so cycles reduce to ordinary twin chains.
+    # ONE ranking pass handles the common (cycle-free) graph: leftover
+    # live pointers afterwards ARE the cycle members, and only then does
+    # the cut-and-rerank branch run (lax.cond). The former structure paid
+    # 4 full doubling passes (cycle detect, min-pair, rank, tail) every
+    # labeling — ~60% of end-to-end `assemble` wall clock at round 3.
     rank0 = jnp.where(prv >= 0, 1, 0).astype(jnp.int32)
     anchor0 = jnp.where(prv >= 0, prv, arange)
-    ptr_rem, _, _ = _doubling_rank(prv, rank0, anchor0, iters)
-    in_cycle = ptr_rem >= 0
-    ea = jnp.where(nxt >= 0, jnp.minimum(arange, nxt ^ 1), m)
-    eb = jnp.where(nxt >= 0, jnp.maximum(arange, nxt ^ 1), m)
-    cyc_ptr = jnp.where(in_cycle, prv, INVALID)
+    ptr_rem, rank_nc, head_nc = _doubling_rank(prv, rank0, anchor0, iters)
+    has_cycle = jnp.any(ptr_rem >= 0)
 
-    def minpair_body(_, state):
-        ptr, a, bb = state
-        has = ptr >= 0
-        pp = jnp.clip(ptr, 0, m - 1)
-        ap, bp = a[pp], bb[pp]
-        better = has & ((ap < a) | ((ap == a) & (bp < bb)))
-        a = jnp.where(better, ap, a)
-        bb = jnp.where(better, bp, bb)
-        ptr = jnp.where(has, ptr[pp], ptr)
-        return ptr, a, bb
+    def cut_and_rerank(_):
+        # mirror-consistent canonical cut: edge (j -> nxt[j]) and its
+        # strand mirror share the sorted id pair {j, nxt[j]^1}; cutting
+        # the lexicographically smallest pair picks the same physical cut
+        # on both strands so cycles reduce to ordinary twin chains.
+        in_cycle = ptr_rem >= 0
+        ea = jnp.where(nxt >= 0, jnp.minimum(arange, nxt ^ 1), m)
+        eb = jnp.where(nxt >= 0, jnp.maximum(arange, nxt ^ 1), m)
+        cyc_ptr = jnp.where(in_cycle, prv, INVALID)
 
-    _, ma, mb = jax.lax.fori_loop(0, iters, minpair_body, (cyc_ptr, ea, eb))
-    cut_here = in_cycle & (ea == ma) & (eb == mb)
-    nxt = jnp.where(cut_here, INVALID, nxt)
-    nt = nxt[twin]
-    prv = jnp.where(nt >= 0, nt ^ 1, INVALID)
+        def minpair_body(_, state):
+            ptr, a, bb = state
+            has = ptr >= 0
+            pp = jnp.clip(ptr, 0, m - 1)
+            ap, bp = a[pp], bb[pp]
+            better = has & ((ap < a) | ((ap == a) & (bp < bb)))
+            a = jnp.where(better, ap, a)
+            bb = jnp.where(better, bp, bb)
+            ptr = jnp.where(has, ptr[pp], ptr)
+            return ptr, a, bb
 
-    # list ranking
-    rank0 = jnp.where(prv >= 0, 1, 0).astype(jnp.int32)
-    anchor0 = jnp.where(prv >= 0, prv, arange)
-    _, rank, head = _doubling_rank(prv, rank0, anchor0, iters)
-    t0 = jnp.where(nxt >= 0, nxt, arange)
-    _, _, tail = _doubling_rank(nxt, jnp.zeros_like(rank0), t0, iters)
+        _, ma, mb = jax.lax.fori_loop(0, iters, minpair_body,
+                                      (cyc_ptr, ea, eb))
+        cut_here = in_cycle & (ea == ma) & (eb == mb)
+        nxt2 = jnp.where(cut_here, INVALID, nxt)
+        nt2 = nxt2[twin]
+        prv2 = jnp.where(nt2 >= 0, nt2 ^ 1, INVALID)
+        r0 = jnp.where(prv2 >= 0, 1, 0).astype(jnp.int32)
+        a0 = jnp.where(prv2 >= 0, prv2, arange)
+        _, rank2, head2 = _doubling_rank(prv2, r0, a0, iters)
+        return nxt2, prv2, rank2, head2
+
+    def no_cycle(_):
+        return nxt, prv, rank_nc, head_nc
+
+    nxt, prv, rank, head = jax.lax.cond(has_cycle, cut_and_rerank,
+                                        no_cycle, None)
+    # chain tail via twin symmetry: the twin chain (prv-mirror) of i's
+    # chain starts at (tail of i's chain)^1, so tail = head[twin] ^ 1 —
+    # this replaces a third full doubling pass with one gather.
+    tail = head[twin] ^ 1
 
     node_alive_nonj = alive & ~is_junction
     oriented_valid = jnp.repeat(node_alive_nonj, 2)
