@@ -117,11 +117,11 @@ def simulate(workdir: str, genome_size: int, read_len: int, coverage: float,
     return path
 
 
-def run_timed(cmd: list[str], log: str, cwd: str) -> float:
+def run_timed(cmd: list[str], log: str, cwd: str, env=None) -> float:
     t0 = time.perf_counter()
     with open(log, "w") as lf:
         subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT,
-                       cwd=cwd, check=True)
+                       cwd=cwd, check=True, env=env)
     return time.perf_counter() - t0
 
 
@@ -156,33 +156,40 @@ def run_iterate_mode(args) -> None:
         args.coverage, args.error, args.seed)
 
     def side(tag: str, assemble_cmd: list[str], iterate_cmd: list[str],
-             cwd: str) -> dict:
+             cwd: str, env=None) -> dict:
         w1 = run_timed(assemble_cmd,
-                       os.path.join(args.workdir, f"{tag}_asm.log"), cwd)
+                       os.path.join(args.workdir, f"{tag}_asm.log"), cwd,
+                       env=env)
         w2 = run_timed(iterate_cmd,
-                       os.path.join(args.workdir, f"{tag}_it.log"), cwd)
+                       os.path.join(args.workdir, f"{tag}_it.log"), cwd,
+                       env=env)
         out = os.path.join(args.workdir, f"{tag}_iterativeAssembly.fa")
         seqs = read_fasta(out)
         return {"wall_s_assemble": round(w1, 2),
                 "wall_s_iterate": round(w2, 2),
                 **seq_set_stats(seqs), **genome_truth(seqs, genome)}
 
-    pre_r = os.path.join(args.workdir, "ref")
-    ref = side("ref",
+    # both sides run IN the workdir with plain prefixes: `iterate`
+    # forbids '/' in -o on both sides (iterate.cpp:119 / iterate_cmd.py);
+    # our CLI stays importable via PYTHONPATH (axon sitecustomize path
+    # preserved — clobbering it breaks the TPU plugin registration)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH",
+                                             "/root/.axon_site")
+    ref = side("refit",
                [args.ref_bin, "assemble", "-f", p1, p2, "-t",
-                str(args.threads), "-m", "4", "-o", pre_r],
-               [args.ref_bin, "iterate", "-c", f"{pre_r}_contig.fa",
+                str(args.threads), "-m", "4", "-o", "refit"],
+               [args.ref_bin, "iterate", "-c", "refit_contig.fa",
                 "-IP1", p1, p2, "-i", str(args.rounds), "-t",
-                str(args.threads), "-o", pre_r],
+                str(args.threads), "-o", "refit"],
                args.workdir)
-    pre_t = os.path.join(args.workdir, "tpu")
-    tpu = side("tpu",
+    tpu = side("tpuit",
                [sys.executable, "-m", "platanus_b_tpu", "assemble", "-f",
-                p1, p2, "-o", pre_t],
+                p1, p2, "-o", "tpuit"],
                [sys.executable, "-m", "platanus_b_tpu", "iterate", "-c",
-                f"{pre_t}_contig.fa", "-IP1", p1, p2, "-i",
-                str(args.rounds), "-o", pre_t],
-               REPO)
+                "tpuit_contig.fa", "-IP1", p1, p2, "-i",
+                str(args.rounds), "-o", "tpuit"],
+               args.workdir, env=env)
     out = {
         "mode": "iterate",
         "dataset": {"genome_bp": args.genome_size,

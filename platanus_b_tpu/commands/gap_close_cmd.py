@@ -88,10 +88,11 @@ def close_gaps(scaffolds, libs, seed_lengths=(32,), min_overlap_olc=32,
     prev_ins = 0
     for li, lib in enumerate(libs):
         LOG.info(f"[PAIR_LIBRARY {li + 1}]")
-        fid, foff = map_reads(index, lib.fwd_codes, lib.fwd_lengths,
-                              tuple(seed_lengths))
-        rid, roff = map_reads(index, lib.rev_codes, lib.rev_lengths,
-                              tuple(seed_lengths))
+        with LOG.stage("  gap_close: map reads"):
+            fid, foff = map_reads(index, lib.fwd_codes, lib.fwd_lengths,
+                                  tuple(seed_lengths))
+            rid, roff = map_reads(index, lib.rev_codes, lib.rev_lengths,
+                                  tuple(seed_lengths))
         # insert size from same-contig innie pairs
         same = (fid != 0) & (fid == -rid)
         ins = np.where(fid > 0, roff - foff + 1, foff - roff + 1)
@@ -105,12 +106,17 @@ def close_gaps(scaffolds, libs, seed_lengths=(32,), min_overlap_olc=32,
 
         LOG.info("saving reads covering gaps...")
         # each mapped end contributes its MATE
-        gc.collect_gap_reads(gaps, scaffolds, fid, foff, lib.rev_codes,
-                             lib.rev_lengths, int(lib.average_insert), tol)
-        gc.collect_gap_reads(gaps, scaffolds, rid, roff, lib.fwd_codes,
-                             lib.fwd_lengths, int(lib.average_insert), tol)
+        with LOG.stage("  gap_close: collect gap reads"):
+            gc.collect_gap_reads(gaps, scaffolds, fid, foff, lib.rev_codes,
+                                 lib.rev_lengths, int(lib.average_insert),
+                                 tol)
+            gc.collect_gap_reads(gaps, scaffolds, rid, roff, lib.fwd_codes,
+                                 lib.fwd_lengths, int(lib.average_insert),
+                                 tol)
 
         LOG.info("assembling localized reads...")
+        import time as _time
+        _t0 = _time.perf_counter()
         n_dbg = n_olc = n_part = n_ext = 0
         for g in gaps:
             if g.state == gc.CLOSED:
@@ -142,6 +148,8 @@ def close_gaps(scaffolds, libs, seed_lengths=(32,), min_overlap_olc=32,
                                     allow_partial=True):
                     if g.state == gc.PART_CLOSED:
                         n_part += 1
+        LOG.info(f"  gap_close: closer loop done "
+                 f"({_time.perf_counter() - _t0:.2f} s)")
         LOG.counter("NUM_CLOSED_GAPS_IN_DE_BRUIJN", n_dbg)
         LOG.counter("NUM_CLOSED_GAPS_IN_OVERLAP_LAYOUT_CONSENSUS", n_olc)
         LOG.counter("NUM_CLOSED_GAPS_PARTIAL", n_part)

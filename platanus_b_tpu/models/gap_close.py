@@ -374,33 +374,70 @@ class MiniDBG:
             return []
         succ, pred, outdeg, indeg = self._topology()
         uniq_succ = succ.max(axis=1)          # valid when outdeg == 1
-        uniq_pred = pred.max(axis=1)
-        is_start = np.ones(n, bool)
-        # a node continues its predecessor's chain iff it has exactly one
-        # pred and that pred has exactly one succ
-        cont = (indeg == 1) & (outdeg[np.clip(uniq_pred, 0, n - 1)] == 1) \
-            & (uniq_pred >= 0)
-        is_start[:] = ~cont
-        visited = np.zeros(n, bool)
-        chains = []
-        order = list(np.flatnonzero(is_start)) + list(range(n))
-        for v0 in order:
-            if visited[v0]:
-                continue
-            chain = [v0]
-            visited[v0] = True
-            v = v0
-            while outdeg[v] == 1:
-                nxt = int(uniq_succ[v])
-                if visited[nxt] or indeg[nxt] != 1:
+        # chain link v -> nxt[v] iff outdeg(v)==1 and indeg(nxt)==1
+        nxt = np.where(outdeg == 1, uniq_succ, -1)
+        tgt = np.clip(nxt, 0, n - 1)
+        nxt = np.where((nxt >= 0) & (indeg[tgt] == 1), nxt, -1)
+        prv = np.full(n, -1, np.int64)
+        has = nxt >= 0
+        prv[nxt[has]] = np.flatnonzero(has)
+        # numpy pointer doubling to heads/ranks (the per-node Python walk
+        # was ~30% of the gap-closer loop); leftover live pointers after
+        # log2(n) rounds are cycles, cut at their min-index node
+        idx = np.arange(n, dtype=np.int64)
+        ptr = prv.copy()
+        rank = (ptr >= 0).astype(np.int64)
+        anchor = np.where(ptr >= 0, ptr, idx)
+        max_it = max(int(np.ceil(np.log2(n + 2))) + 1, 2)
+        for _ in range(max_it):
+            live = np.flatnonzero(ptr >= 0)
+            if not len(live):
+                break
+            p = ptr[live]
+            rank[live] += rank[p]
+            anchor[live] = anchor[p]
+            ptr[live] = ptr[p]
+        cyc = np.flatnonzero(ptr >= 0)
+        if len(cyc):
+            seen = np.zeros(n, bool)
+            for c0 in cyc:
+                if seen[c0]:
+                    continue
+                members = [int(c0)]
+                seen[c0] = True
+                v = int(prv[c0])
+                while v != c0:
+                    members.append(v)
+                    seen[v] = True
+                    v = int(prv[v])
+                cut = min(members)  # canonical cycle cut
+                src = next(m for m in members if nxt[m] == cut)
+                prv[cut] = -1
+                nxt[src] = -1
+            # re-rank after the cuts (rare path)
+            ptr = prv.copy()
+            rank = (ptr >= 0).astype(np.int64)
+            anchor = np.where(ptr >= 0, ptr, idx)
+            for _ in range(max_it):
+                live = np.flatnonzero(ptr >= 0)
+                if not len(live):
                     break
-                chain.append(nxt)
-                visited[nxt] = True
-                v = nxt
-            chains.append(chain)
+                p = ptr[live]
+                rank[live] += rank[p]
+                anchor[live] = anchor[p]
+                ptr[live] = ptr[p]
+        # group nodes into chains ordered by (head, rank)
+        order = np.lexsort((rank, anchor))
+        heads_sorted = anchor[order]
+        new_chain = np.empty(n, bool)
+        new_chain[0] = True
+        new_chain[1:] = heads_sorted[1:] != heads_sorted[:-1]
+        starts = np.flatnonzero(new_chain)
+        chain_lens = np.diff(np.append(starts, n))
+        chains = np.split(order, starts[1:])
         widths = _word_widths(self.k)
         # vectorized decode of every chain's first k-mer: (C, k) bases
-        firsts = self.keys[[c[0] for c in chains]]
+        firsts = self.keys[order[starts]]
         cols = []
         for w in range(self.W):
             ww = int(widths[w])
@@ -408,16 +445,18 @@ class MiniDBG:
             cols.append(((firsts[:, w:w + 1] >> sh[None, :])
                          & np.uint64(3)).astype(np.uint8))
         first_bases = np.concatenate(cols, axis=1)
+        covsum = np.add.reduceat(self.cov[order].astype(np.float64), starts)
+        last_base_all = (self.keys[order, self.W - 1]
+                         & np.uint64(3)).astype(np.uint8)
         res = []
         for ci, chain in enumerate(chains):
-            seq = np.empty(len(chain) + self.k - 1, dtype=np.uint8)
+            L = int(chain_lens[ci])
+            seq = np.empty(L + self.k - 1, dtype=np.uint8)
             seq[: self.k] = first_bases[ci]
             # subsequent k-mers append their last base (low bits of the
             # final word)
-            seq[self.k:] = (self.keys[chain[1:], self.W - 1]
-                            & np.uint64(3)).astype(np.uint8)
-            cov = float(self.cov[chain].mean())
-            res.append((seq, len(chain), cov, chain))
+            seq[self.k:] = last_base_all[starts[ci] + 1: starts[ci] + L]
+            res.append((seq, L, float(covsum[ci] / L), chain))
         self._unitig_cache = res
         if with_chains:
             return res
@@ -459,8 +498,11 @@ class MiniDBG:
             keep = ~kill
             self.keys = np.ascontiguousarray(self.keys[keep])
             self.cov = self.cov[keep]
+            # BOTH caches die together: a stale unitig cache holds chain
+            # indices into the pre-kill arrays (out-of-bounds after
+            # compaction — bit on multi-round clipping at 1000-gap scale)
             self._topo = None
-        self._unitig_cache = None
+            self._unitig_cache = None
 
 
 # ---------------------------------------------------------------------------
@@ -601,7 +643,22 @@ def dbg_close_gap(gap: Gap, min_k=BRUIJN_MIN_KMER, max_k=BRUIJN_MAX_KMER,
 
 def _assemble_gap_reads(gap: Gap, min_k=BRUIJN_MIN_KMER, max_k=BRUIJN_MAX_KMER,
                         min_cov=MIN_COVERAGE):
-    """Dual-k assembly of a gap's read set; returns high-k unitigs."""
+    """Dual-k assembly of a gap's read set; returns high-k unitigs.
+
+    Cached per (read count, params): the command layer retries a failed
+    full closure as a partial closure with the identical read set
+    (gapClose.cpp:699-762 does the same dual call)."""
+    ck = (len(gap.reads), min_k, max_k, min_cov)
+    cached = getattr(gap, "_units_cache", None)
+    if cached is not None and cached[0] == ck:
+        return cached[1]
+    units = _assemble_gap_reads_impl(gap, min_k, max_k, min_cov)
+    gap._units_cache = (ck, units)
+    return units
+
+
+def _assemble_gap_reads_impl(gap: Gap, min_k=BRUIJN_MIN_KMER,
+                             max_k=BRUIJN_MAX_KMER, min_cov=MIN_COVERAGE):
     seqs = [gap.head, gap.tail] + gap.reads
     low = MiniDBG(min_k)
     low.count(seqs, min_cov)
@@ -667,18 +724,37 @@ def _best_overlap(a: np.ndarray, b: np.ndarray, min_overlap: int,
     """Longest suffix(a)/prefix(b) overlap within <= max_edit edits
     (banded edit distance, pairwiseAlignmentOLC gapCloseOLC.cpp:147-318 —
     indels allowed, not just mismatches)."""
-    from .hetero import align_scaffold
-
     top = min(len(a), len(b))
-    for ov in range(top, min_overlap - 1, -1):
-        suf = a[len(a) - ov:]
-        pre = b[:ov]
-        # cheap exact/mismatch pass first; banded DP only when it fails
-        if int((suf != pre).sum()) <= max_edit:
-            return ov
-        if max_edit > 0 and align_scaffold(suf, pre, max_edit) <= max_edit:
-            return ov
-    return 0
+    if top < min_overlap:
+        return 0
+    # equal-length strings: every indel must pair with a compensating
+    # indel (cost 2), so edit <= 1 is EXACTLY hamming <= 1 — the banded
+    # DP fallback is provably redundant for max_edit <= 1, and it was
+    # ~70% of gap_close wall clock (one DP per failing (read, ov) pair)
+    if max_edit >= 2:
+        from .hetero import align_scaffold
+        for ov in range(top, min_overlap - 1, -1):
+            suf = a[len(a) - ov:]
+            pre = b[:ov]
+            if int((suf != pre).sum()) <= max_edit:
+                return ov
+            if align_scaffold(suf, pre, max_edit) <= max_edit:
+                return ov
+        return 0
+    # vectorized: mismatches of every candidate overlap at once.
+    # V[s, j] = A[s + j] vs b[j] with s = top - ov; M[s] = mismatches of
+    # the length-(top-s) overlap = running row sum up to j < top - s.
+    A = a[len(a) - top:]
+    A_ext = np.concatenate([A, np.full(top, 0xFF, a.dtype)])
+    V = np.lib.stride_tricks.sliding_window_view(A_ext, top)[:top]
+    neq = V != b[:top][None, :]
+    C = np.cumsum(neq, axis=1)
+    s_idx = np.arange(top)
+    ov_of = top - s_idx
+    M = C[s_idx, np.maximum(ov_of - 1, 0)]
+    ok = (M <= max_edit) & (ov_of >= min_overlap)
+    hits = np.flatnonzero(ok)
+    return int(ov_of[hits[0]]) if len(hits) else 0
 
 
 def olc_close_gap(gap: Gap, min_overlap=32, max_edit=1,
