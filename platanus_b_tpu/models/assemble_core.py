@@ -37,14 +37,32 @@ from .dbg import DBG
 
 @dataclass
 class KmerTable:
-    """Sorted unique canonical k-mers + occurrence values (host handles)."""
+    """Sorted unique canonical k-mers + occurrence values.
+
+    keys/counts may be host numpy OR device arrays; device tables carry
+    a power-of-two capacity with SENTINEL tails and record the live row
+    count in n_live (so the table can stay in HBM between pipeline
+    stages — host round trips cost ~25 ms/MB over the device link)."""
 
     k: int
     keys: np.ndarray    # (N, W) uint32 sorted
     counts: np.ndarray  # (N,) uint32
+    n_live: int | None = None
 
     def __len__(self) -> int:
-        return len(self.keys)
+        return self.n_live if self.n_live is not None else len(self.keys)
+
+    @property
+    def is_device(self) -> bool:
+        return isinstance(self.keys, jax.Array)
+
+    def host(self) -> "KmerTable":
+        """Materialize on host (live rows only)."""
+        if not self.is_device:
+            return self
+        n = len(self)
+        return KmerTable(self.k, np.asarray(self.keys[:n]),
+                         np.asarray(self.counts[:n]).astype(np.uint32))
 
 
 def _pad_codes(codes: np.ndarray) -> jnp.ndarray:
@@ -425,9 +443,67 @@ def _ragged_fill(dst, dst_starts, lens, src, src_starts, step=1,
     dst[dpos] = v
 
 
+@functools.partial(jax.jit, static_argnames=("k", "diff"))
+def _ext_probe_kernel(si, so, od, isj, keys, uid, ulen, uhead, utail,
+                      k: int, diff: int):
+    """Device half of extended_unitig_sequences_flat: the per-unitig
+    junction/far-side probes (graph.h:1678-1751 walks) as device
+    gathers. Only per-UNITIG arrays leave the device — the former host
+    version shipped the (cap, 2, 4) succ tables (~170 MB per k step at
+    1 Mbp scale) over the 40 MB/s device link every step."""
+    cap = si.shape[0]
+    ucap = ulen.shape[0]
+    W = keys.shape[-1]
+    g = 2 * (k - 1)
+
+    def jbase(jn, orient, first):
+        key = keys[jn]
+        fb = (key[:, W - 1 - g // 32] >> np.uint32(g % 32)) & 3
+        lb = key[:, W - 1] & 3
+        if first:
+            return jnp.where(orient == 0, fb, 3 - lb).astype(jnp.uint8)
+        return jnp.where(orient == 0, lb, 3 - fb).astype(jnp.uint8)
+
+    def probe(node, look):
+        deg = od[node, look]
+        row = si[node, look]
+        b = jnp.argmax(row >= 0, axis=-1)
+        jn = jnp.take_along_axis(row, b[:, None], axis=-1)[:, 0]
+        jt = jnp.take_along_axis(so[node, look], b[:, None], axis=-1)[:, 0]
+        jn_c = jnp.clip(jn, 0, cap - 1)
+        has_j = (deg == 1) & (jn >= 0) & isj[jn_c]
+        cond_c = has_j & (od[jn_c, jt] == 1)
+        row2 = si[jn_c, jt]
+        fb2 = jnp.argmax(row2 >= 0, axis=-1)
+        fn = jnp.take_along_axis(row2, fb2[:, None], axis=-1)[:, 0]
+        fo = jnp.take_along_axis(so[jn_c, jt], fb2[:, None], axis=-1)[:, 0]
+        fn_c = jnp.clip(fn, 0, cap - 1)
+        has_far = cond_c & (fn >= 0) & ~isj[fn_c] & (uid[fn_c] >= 0)
+        return has_j, jn_c, jt, has_far, fn_c, fo
+
+    hi, ho = uhead >> 1, uhead & 1
+    hasL, jnL, jtL, farL, fnL, foL = probe(hi, 1 - ho)
+    jbL = jbase(jnL, 1 - jtL, True)
+    uid2L = jnp.clip(uid[fnL], 0, ucap - 1)
+    exL = jnp.where(farL, jnp.minimum(ulen[uid2L], diff), 0)
+    tL = utail[uid2L]
+    sameL = ((tL >> 1) == fnL) & ((tL & 1) == (1 - foL))
+
+    ti, to = utail >> 1, utail & 1
+    hasR, jnR, jtR, farR, fnR, foR = probe(ti, to)
+    jbR = jbase(jnR, jtR, False)
+    uid2R = jnp.clip(uid[fnR], 0, ucap - 1)
+    exR = jnp.where(farR, jnp.minimum(ulen[uid2R], diff), 0)
+    tR = utail[uid2R]
+    sameR = ((tR >> 1) == fnR) & ((tR & 1) == (1 - foR))
+    return (hasL, jbL, exL, sameL, uid2L,
+            hasR, jbR, exR, sameR, uid2R)
+
+
 def extended_unitig_sequences_flat(dbg: DBG, diff: int):
     """Vectorized extended_unitig_sequences: per-unitig junction/far-side
-    probes as bulk numpy gathers, output as ONE flat base buffer.
+    probes on device (_ext_probe_kernel), ragged fills on host over ONE
+    flat base buffer.
 
     Returns (flat uint8, offs (U,) int64, lens (U,) int64, ucov). The
     scalar per-unitig loop (_extended_unitig_sequences_ref) cost O(U)
@@ -435,86 +511,22 @@ def extended_unitig_sequences_flat(dbg: DBG, diff: int):
     `assemble` wall clock (VERDICT r3 weak #2); this builds the same
     bytes with a fixed number of O(total) array ops.
     """
-    u = dbg.label_unitigs()
-    flat, offs, base_lens = dbg.unitig_sequences_flat()
-    U = u.num_unitigs
+    uid, upos, uorient, num_u_d, ulen, ucov_d, uhead, utail = \
+        dbg.label_unitigs_device()
+    U = int(num_u_d)
     if U == 0:
         return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
-                np.zeros(0, np.int64), u.ucov)
-    si = np.asarray(dbg.topo[0])
-    so = np.asarray(dbg.topo[1])
-    od = np.asarray(dbg.topo[3])
-    isj = np.asarray(dbg.topo[4])
+                np.zeros(0, np.int64), np.zeros(0, np.uint32))
+    flat, offs, base_lens = dbg.unitig_sequences_flat()
+    si, so, _out, od, isj = dbg.topo
+    probes = _ext_probe_kernel(si, so, od, isj, dbg.keys, uid, ulen,
+                               uhead, utail, dbg.k, diff)
+    (hasL, jbL, exL, sameL, uid2L,
+     hasR, jbR, exR, sameR, uid2R) = (np.asarray(x[:U]) for x in probes)
+    ucov = np.asarray(ucov_d[:U])
+    exL = exL.astype(np.int64)
+    exR = exR.astype(np.int64)
     k = dbg.k
-    W = dbg.keys.shape[-1]
-
-    jidx = np.flatnonzero(isj)
-    jkeys = (np.asarray(dbg.keys[jnp.asarray(jidx)]) if len(jidx)
-             else np.zeros((0, W), np.uint32))
-    jrow = np.full(si.shape[0], -1, np.int64)
-    jrow[jidx] = np.arange(len(jidx))
-
-    def jbase_first(jn, orient):
-        """First base of junction jn's k-mer in `orient` (0 = canonical)."""
-        if len(jkeys) == 0:
-            return np.zeros(len(jn), np.uint8)
-        key = jkeys[jrow[np.clip(jn, 0, None)]]
-        g = 2 * (k - 1)
-        first = (key[:, W - 1 - g // 32] >> np.uint32(g % 32)) & 3
-        last = key[:, W - 1] & 3
-        return np.where(orient == 0, first, 3 - last).astype(np.uint8)
-
-    def jbase_last(jn, orient):
-        if len(jkeys) == 0:
-            return np.zeros(len(jn), np.uint8)
-        key = jkeys[jrow[np.clip(jn, 0, None)]]
-        g = 2 * (k - 1)
-        first = (key[:, W - 1 - g // 32] >> np.uint32(g % 32)) & 3
-        last = key[:, W - 1] & 3
-        return np.where(orient == 0, last, 3 - first).astype(np.uint8)
-
-    def probe(node, look):
-        """(has_j, jn, jt, has_far, uid2, fn_orient) for edge walks
-        node --look--> junction --jt--> far unitig."""
-        idx = np.arange(U)
-        cond_a = od[node, look] == 1
-        b = np.argmax(si[node, look, :] >= 0, axis=-1)
-        jn = si[node, look, b]
-        jt = so[node, look, b]
-        has_j = cond_a & (jn >= 0) & isj[np.clip(jn, 0, None)]
-        jn_c = np.clip(jn, 0, None)
-        cond_c = has_j & (od[jn_c, jt] == 1)
-        fb = np.argmax(si[jn_c, jt, :] >= 0, axis=-1)
-        fn = si[jn_c, jt, fb]
-        fo = so[jn_c, jt, fb]
-        fn_c = np.clip(fn, 0, None)
-        has_far = (cond_c & (fn >= 0) & ~isj[fn_c]
-                   & (u.uid[fn_c] >= 0))
-        del idx
-        return has_j, jn_c, jt, has_far, fn_c, fo
-
-    # ---- left (head) side: walk head --(1-ho)--> junction --> far
-    hi = u.uhead >> 1
-    ho = u.uhead & 1
-    hasL, jnL, jtL, farL, fnL, foL = probe(hi, 1 - ho)
-    jbL = jbase_first(jnL, 1 - jtL)
-    uid2L = u.uid[fnL]
-    exL = np.where(farL, np.minimum(u.ulen[np.clip(uid2L, 0, None)], diff),
-                   0).astype(np.int64)
-    # orientation of the far unitig: stored tail == (fn, 1-fo) -> direct
-    tL = u.utail[np.clip(uid2L, 0, None)]
-    sameL = ((tL >> 1) == fnL) & ((tL & 1) == (1 - foL))
-
-    # ---- right (tail) side: walk tail --to--> junction --> far
-    ti = u.utail >> 1
-    to = u.utail & 1
-    hasR, jnR, jtR, farR, fnR, foR = probe(ti, to)
-    jbR = jbase_last(jnR, jtR)
-    uid2R = u.uid[fnR]
-    exR = np.where(farR, np.minimum(u.ulen[np.clip(uid2R, 0, None)], diff),
-                   0).astype(np.int64)
-    tR = u.utail[np.clip(uid2R, 0, None)]
-    sameR = ((tR >> 1) == fnR) & ((tR & 1) == (1 - foR))
 
     hL = hasL.astype(np.int64)
     hR = hasR.astype(np.int64)
@@ -523,8 +535,8 @@ def extended_unitig_sequences_flat(dbg: DBG, diff: int):
     ext_offs[1:] = np.cumsum(ext_lens)[:-1]
     out = np.empty(int(ext_lens.sum()), np.uint8)
 
-    o2L = offs[np.clip(uid2L, 0, None)]
-    l2L = base_lens[np.clip(uid2L, 0, None)]
+    o2L = offs[np.clip(uid2L, 0, U - 1)]
+    l2L = base_lens[np.clip(uid2L, 0, U - 1)]
     # left far part: direct slice s2[len2-(k-1)-ex : len2-(k-1)] when the
     # stored orientation already ends at (fn, 1-fo); else the
     # reverse-complement of s2[(k-1) : (k-1)+ex]
@@ -544,14 +556,14 @@ def extended_unitig_sequences_flat(dbg: DBG, diff: int):
     # right far part: t_seq oriented with fn FIRST = rc of "fn last";
     # stored-tail match means rc-of-stored -> reversed complement slice,
     # else direct s2[(k-1) : (k-1)+ex]
-    o2R = offs[np.clip(uid2R, 0, None)]
-    l2R = base_lens[np.clip(uid2R, 0, None)]
+    o2R = offs[np.clip(uid2R, 0, U - 1)]
+    l2R = base_lens[np.clip(uid2R, 0, U - 1)]
     startR = posR + hR
     _ragged_fill(out, startR, np.where(sameR, exR, 0),
                  flat, o2R + l2R - k, step=-1, comp=True)
     _ragged_fill(out, startR, np.where(~sameR, exR, 0),
                  flat, o2R + (k - 1))
-    return out, ext_offs, ext_lens, u.ucov
+    return out, ext_offs, ext_lens, ucov
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -624,34 +636,47 @@ def save_contig_next_k(dbg: DBG, next_k: int, occurrence_ratio: float) -> KmerTa
                                        jnp.asarray(occv), next_k)
         acc.add(uk, uv, int(n))
     uk, uv, n = acc.result()
-    kh = np.asarray(uk[:n])
-    vh = np.asarray(uv[:n]).astype(np.uint32)
-    return KmerTable(next_k, kh, vh)
+    from ..ops.padding import next_pow2 as _np2
+    cap2 = _np2(max(n, 1))
+    if uk.shape[0] < cap2:  # non-pow2 fold capacity: pad with SENTINEL
+        pad = cap2 - uk.shape[0]
+        uk = jnp.concatenate(
+            [uk, jnp.full((pad, W), np.uint32(0xFFFFFFFF), jnp.uint32)])
+        uv = jnp.concatenate([uv, jnp.zeros(pad, uv.dtype)])
+    return KmerTable(next_k, uk[:cap2], uv[:cap2].astype(jnp.uint32),
+                     n_live=n)
 
 
-def edge_kmer_keys(dbg: DBG, next_k: int) -> np.ndarray:
+@jax.jit
+def _edge_mask_kernel(uid, upos, ulen):
+    ucap = ulen.shape[0]
+    sel = uid >= 0
+    ulen_of = jnp.where(sel, ulen[jnp.clip(uid, 0, ucap - 1)], 0)
+    return sel, ulen_of
+
+
+def edge_kmer_keys(dbg: DBG, next_k: int):
     """K-mers within diff = next_k - k of unitig ends (saveEdgeKmer,
-    graph.h:1877-1939; whole unitig when ulen < 2*diff)."""
+    graph.h:1877-1939; whole unitig when ulen < 2*diff). Returns a
+    DEVICE (cap, W) sorted table + live count — the edge subset of the
+    (sorted) node table is itself sorted, so it binary-searches directly;
+    nothing capacity-sized crosses the host boundary."""
     diff = next_k - dbg.k
-    u = dbg.label_unitigs()
-    sel = u.uid >= 0
-    pos = u.upos
-    ulen_of = np.zeros_like(pos)
-    ulen_of[sel] = u.ulen[u.uid[sel]]
-    edge = sel & ((pos < diff) | (pos >= ulen_of - diff))
-    return np.asarray(dbg.keys)[edge]
+    uid, upos, _uo, _nu, ulen, _uc, _uh, _ut = dbg.label_unitigs_device()
+    sel, ulen_of = _edge_mask_kernel(uid, upos, ulen)
+    edge = sel & ((upos < diff) | (upos >= ulen_of - diff))
+    fkeys, n_edge = cnt.compact_mask(dbg.keys, edge)
+    return fkeys, int(n_edge)
 
 
-def filter_reads_by_edge_kmers(batches: list[ReadBatch], edge_keys: np.ndarray,
+def filter_reads_by_edge_kmers(batches: list[ReadBatch], edge_table,
                                k: int) -> list[ReadBatch]:
     """pickupReadMatchedEdgeKmer (counter.h:870-910): keep reads containing
-    at least one edge k-mer."""
-    from ..ops.padding import pad_pow2
-    if len(edge_keys) == 0:
+    at least one edge k-mer. edge_table = (device sorted keys, n) from
+    edge_kmer_keys."""
+    table, n_edge = edge_table
+    if n_edge == 0:
         return [ReadBatch(b.codes[:0], b.lengths[:0]) for b in batches[:1]]
-    order = np.lexsort(tuple(edge_keys[:, w] for w in
-                             range(edge_keys.shape[1] - 1, -1, -1)))
-    table = jnp.asarray(pad_pow2(edge_keys[order], np.uint32(0xFFFFFFFF)))
     out = []
     for b in batches:
         if b.num_reads == 0:
@@ -659,7 +684,7 @@ def filter_reads_by_edge_kmers(batches: list[ReadBatch], edge_keys: np.ndarray,
         padded = _pad_codes(b.codes)
         keys, valid = extract_canonical_kmers(padded, k)
         W = keys.shape[-1]
-        idx = lookup(table, keys.reshape(-1, W), len(edge_keys))
+        idx = lookup(table, keys.reshape(-1, W), n_edge)
         hit = (idx.reshape(valid.shape) >= 0) & valid
         read_hit = np.asarray(jnp.any(hit, axis=1))[: b.num_reads]
         out.append(ReadBatch(b.codes[read_hit], b.lengths[read_hit]))
@@ -718,11 +743,14 @@ def count_considering_previous(contig_table: KmerTable,
     NOT in the contig table are counted normally; result is the union."""
     from ..ops.padding import pad_pow2
     k = contig_table.k
+    from ..parallel import multihost as mh
+    if mh.process_count() == 1:
+        return _count_considering_previous_device(contig_table, batches)
     with LOG.stage("    recount: count reads"):
         read_table, _ = count_reads(batches, k)
     with LOG.stage("    recount: prev-table lookup"):
         if len(read_table) and len(contig_table):
-            ct = jnp.asarray(pad_pow2(contig_table.keys,
+            ct = jnp.asarray(pad_pow2(np.asarray(contig_table.keys),
                                       np.uint32(0xFFFFFFFF)))
             rt = jnp.asarray(pad_pow2(read_table.keys,
                                       np.uint32(0xFFFFFFFF)))
@@ -733,21 +761,85 @@ def count_considering_previous(contig_table: KmerTable,
         else:
             rk, rc = read_table.keys, read_table.counts
     with LOG.stage("    recount: merge"):
+        ctk = np.asarray(contig_table.keys)
+        ctc = np.asarray(contig_table.counts)
         if len(contig_table) == 0:
             merged_k, merged_c = rk, rc
         elif len(rk) == 0:
-            merged_k, merged_c = contig_table.keys, contig_table.counts
+            merged_k, merged_c = ctk, ctc
         else:
             mk, mc, mn = cnt.merge_counts(
-                jnp.asarray(pad_pow2(contig_table.keys,
-                                     np.uint32(0xFFFFFFFF))),
-                jnp.asarray(pad_pow2(contig_table.counts, 0)),
+                jnp.asarray(pad_pow2(ctk, np.uint32(0xFFFFFFFF))),
+                jnp.asarray(pad_pow2(ctc, 0)),
                 jnp.asarray(pad_pow2(rk, np.uint32(0xFFFFFFFF))),
                 jnp.asarray(pad_pow2(rc, 0)))
             merged_k, merged_c = cnt.compact_host(mk, mc, mn)
         merged_c = np.minimum(merged_c, cnt.MAX_OCCURRENCE).astype(np.uint32)
         hist = np.asarray(cnt.occurrence_histogram(jnp.asarray(merged_c)))
     return KmerTable(k, merged_k, merged_c), hist
+
+
+@jax.jit
+def _merge_prev_kernel(ck, cc, cn, rk, rc, rn):
+    """Union of the contig-derived table and the read-count table
+    restricted to keys NOT in the contig table
+    (makeKmerReadDistributionConsideringPreviousGraph semantics) — one
+    device executable, nothing capacity-sized crosses the host boundary.
+    Returns (keys, counts, n_unique, histogram) with the key/count
+    arrays padded to a power-of-two capacity (SENTINEL tails)."""
+    from ..ops.padding import next_pow2
+    capc, W = ck.shape
+    capr = rk.shape[0]
+    idx = lookup(ck, rk, cn)
+    in_r = jnp.arange(capr) < rn
+    new = in_r & (idx < 0)
+    rkeys = jnp.where(new[:, None], rk, jnp.uint32(0xFFFFFFFF))
+    rcnt = jnp.where(new, rc, 0)
+    in_c = jnp.arange(capc) < cn
+    ckeys = jnp.where(in_c[:, None], ck, jnp.uint32(0xFFFFFFFF))
+    ccnt = jnp.where(in_c, cc, 0)
+    total = capc + capr
+    cap = next_pow2(total)
+    keys = jnp.concatenate([
+        ckeys, rkeys,
+        jnp.full((cap - total, W), np.uint32(0xFFFFFFFF), jnp.uint32)])
+    counts = jnp.concatenate([ccnt.astype(jnp.uint32),
+                              rcnt.astype(jnp.uint32),
+                              jnp.zeros(cap - total, jnp.uint32)])
+    skeys, scounts = cnt.sort_by_key(keys, counts)
+    uk, uc, un = cnt.dedup_sum(skeys, scounts)
+    uc = jnp.minimum(uc, cnt.MAX_OCCURRENCE)
+    hist = cnt.occurrence_histogram(uc)
+    return uk, uc, un, hist
+
+
+def _count_considering_previous_device(contig_table: KmerTable, batches):
+    """Device-resident recount: the contig table (already device when
+    save_contig_next_k produced it), the fused read count, the prev-table
+    lookup, and the union merge never materialize on the host — at 1 Mbp
+    scale the former host round trips moved ~100 MB per k step over the
+    40 MB/s device link."""
+    from ..ops.padding import next_pow2, pad_pow2
+    k = contig_table.k
+    with LOG.stage("    recount: count reads"):
+        rk, rc, rn, _h = count_reads_device(batches, k)
+    ck, cc = contig_table.keys, contig_table.counts
+    if not isinstance(ck, jax.Array):
+        ck = jnp.asarray(pad_pow2(ck, np.uint32(0xFFFFFFFF)))
+        cc = jnp.asarray(pad_pow2(np.asarray(cc).astype(np.uint32), 0))
+    cn = len(contig_table)
+    if rk.shape[0] == 0:
+        rk = jnp.full((1, ck.shape[1]), np.uint32(0xFFFFFFFF), jnp.uint32)
+        rc = jnp.zeros(1, jnp.uint32)
+        rn = 0
+    with LOG.stage("    recount: merge"):
+        uk, uc, un, hist = _merge_prev_kernel(
+            ck, cc, jnp.int32(cn), rk, rc.astype(jnp.uint32),
+            jnp.int32(int(rn)))
+        n = int(un)
+        hist_h = np.asarray(hist)
+    cap2 = next_pow2(max(n, 1))
+    return KmerTable(k, uk[:cap2], uc[:cap2], n_live=n), hist_h
 
 
 def get_left_minimal(dist: np.ndarray) -> int:
@@ -782,6 +874,9 @@ def left_minimal_coverage(dbg: DBG) -> int:
 
 def build_dbg_from_table(table: KmerTable, cutoff: int) -> DBG:
     """loadKmer (counter.h:600-640): keep occurrence >= cutoff, build graph."""
+    if table.is_device:
+        return build_dbg_from_device(table.k, table.keys, table.counts,
+                                     len(table), cutoff)
     keep = table.counts >= cutoff
     return DBG(table.k, table.keys[keep], table.counts[keep])
 
@@ -1009,7 +1104,7 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
     contig_covs = [float(u.ucov[i]) * cov_ratio for i in range(u.num_unitigs)]
     ji, jc = dbg.junction_info()
     from ..ops.kmer import kmer_to_codes
-    j_codes = np.asarray(kmer_to_codes(jnp.asarray(np.asarray(dbg.keys)[ji]),
+    j_codes = np.asarray(kmer_to_codes(dbg.keys[jnp.asarray(ji)],
                                        k_last)) if len(ji) else np.zeros((0, k_last), np.uint8)
     junctions = [j_codes[i] for i in range(len(ji))]
     junction_covs = [float(c) * cov_ratio for c in jc]

@@ -487,10 +487,13 @@ class DBG:
         return seqs, base_lens
 
     def junction_info(self):
-        """(indices, counts) of alive junction k-mers."""
+        """(indices, counts) of alive junction k-mers. Gathers on device
+        so only the (small) junction rows cross the host boundary."""
         _, _, _, _, is_junction = self.topo
         idx = np.nonzero(np.asarray(is_junction))[0]
-        return idx, np.asarray(self.counts)[idx]
+        if len(idx) == 0:
+            return idx, np.zeros(0, np.uint32)
+        return idx, np.asarray(self.counts[jnp.asarray(idx)])
 
     # -- mutation ----------------------------------------------------------
     def delete_nodes(self, node_mask) -> None:

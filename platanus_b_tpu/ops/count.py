@@ -30,10 +30,14 @@ MAX_OCCURRENCE = 0xFFFF - 1
 
 
 def sort_by_key(keys: jnp.ndarray, *payloads: jnp.ndarray):
-    """Sort rows of (N, W) keys lexicographically, carrying payloads."""
+    """Sort rows of (N, W) keys lexicographically, carrying payloads.
+
+    Unstable (30% cheaper on TPU): every caller reduces equal-key runs
+    with order-independent ops (sum/max/compaction of unique keys), so
+    payload order within a run never reaches an output."""
     W = keys.shape[-1]
     ops = tuple(keys[:, w] for w in range(W)) + tuple(payloads)
-    out = jax.lax.sort(ops, num_keys=W)
+    out = jax.lax.sort(ops, num_keys=W, is_stable=False)
     skeys = jnp.stack(out[:W], axis=-1)
     return (skeys,) + tuple(out[W:])
 
@@ -484,6 +488,18 @@ class TableAccumulator:
             return (jnp.zeros((0, self.W), U32_DT),
                     jnp.zeros((0,), jnp.uint32), 0)
         return self.acc
+
+
+@jax.jit
+def compact_mask(keys: jnp.ndarray, keep: jnp.ndarray):
+    """Compact masked rows of a sorted unique-key table to the front
+    (device): rows where keep is False become SENTINEL and one key sort
+    moves the kept (unique, ordered) rows forward. Returns
+    (fkeys, n_keep)."""
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    masked = jnp.where(keep[:, None], keys, jnp.full_like(keys, SENTINEL))
+    out = sort_by_key(masked)
+    return out[0], n_keep
 
 
 @jax.jit

@@ -84,7 +84,7 @@ def test_save_contig_next_k_table_unchanged():
     genome = "".join(rng.choice(list(BASES), size=600))
     reads = [genome[i:i + 60] for i in range(0, len(genome) - 60, 2)]
     dbg = build_dbg(reads, k)
-    tab = save_contig_next_k(dbg, next_k, 0.5)
+    tab = save_contig_next_k(dbg, next_k, 0.5).host()
     # oracle: brute-force canonical next_k-mer max-occurrence map
     seqs, ucov = _extended_unitig_sequences_ref(dbg, next_k - k)
     occs = np.minimum((ucov * 0.5 + 0.5).astype(np.uint32),
