@@ -385,9 +385,15 @@ def _map_ungap_kernel(key_table, key_pos, pool, starts, clens, table_len,
     span = jnp.maximum(a_end - a_start, 0)
 
     p = jnp.arange(L, dtype=jnp.int32)  # read positions
+    # contig-LOCAL coordinate, lifted into the concatenated pool by the
+    # contig's start (indexing the pool with the local offset compared
+    # reads against the wrong contig whenever the hit contig wasn't
+    # first — exact reads measured ~0.25 identity and polish masked
+    # whole assemblies)
     coord = jnp.where(is_fwd[..., None], ro[..., None] + p,
                       ro[..., None] - p)                      # (R, S, H, L)
-    cb = pool[jnp.clip(coord, 0, pool_n - 1)]
+    gcoord = starts[cid][..., None] + coord
+    cb = pool[jnp.clip(gcoord, 0, pool_n - 1)]
     tb = jnp.where(is_fwd[..., None], cb, 3 ^ jnp.minimum(cb, 3))
     rb = codes[:, None, None, :]
     in_span = (p >= a_start[..., None]) & (p < a_end[..., None])

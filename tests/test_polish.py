@@ -50,3 +50,27 @@ def test_trim_edge_n():
     seq = np.array([4, 4, 1, 2, 4, 3, 4], dtype=np.uint8)
     np.testing.assert_array_equal(trim_edge_n(seq), [1, 2, 4, 3])
     assert len(trim_edge_n(np.array([4, 4], np.uint8))) == 0
+
+
+def test_ungap_identity_multi_contig(rng):
+    """Exact reads from a NON-FIRST contig must measure identity 1.0 —
+    the ungapped mapper once indexed the concatenated pool with the
+    contig-LOCAL offset, so any contig after the first compared reads
+    against the wrong bases (identity ~0.25) and polish masked entire
+    assemblies inside iterate (round-4 regression)."""
+    import numpy as np
+    from platanus_b_tpu.io.reads import pack_reads
+    from platanus_b_tpu.models.mapper import ContigIndex, map_reads_ungap
+
+    contigs = [rng.integers(0, 4, size=L, dtype=np.uint8)
+               for L in (150, 130, 20000)]
+    g = contigs[2]
+    reads = [g[s:s + 100] for s in rng.integers(0, len(g) - 100, 50)]
+    rb = pack_reads(reads)
+    index = ContigIndex(contigs, key_length=32)
+    ids, offs, ident = map_reads_ungap(index, rb.codes, rb.lengths,
+                                       min_identity=0.0, seed_length=32)
+    m = ids != 0
+    assert m.mean() > 0.9
+    assert (ident[m] > 0.999).all()
+    assert (np.abs(ids[m]) == 3).all()
