@@ -106,10 +106,9 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _cut_branch_kernel(succ_idx, succ_orient, outdeg, is_junction, counts,
-                       uid, ulen, ucov, uhead, utail, num_u, k,
-                       branch_threshold):
+def _cut_branch_kernel_core(succ_idx, succ_orient, outdeg, is_junction,
+                            counts, uid, ulen, ucov, uhead, utail, num_u,
+                            k, branch_threshold):
     """Device tip-clipping decision (graph.h:830-926): returns
     (node_kill mask over capacity, n_killed unitigs). Everything stays in
     HBM — the former host version pulled three capacity-sized label
@@ -163,6 +162,10 @@ def _cut_branch_kernel(succ_idx, succ_orient, outdeg, is_junction, counts,
     return node_kill, n_kill
 
 
+_cut_branch_kernel = functools.partial(
+    jax.jit, static_argnames=("k",))(_cut_branch_kernel_core)
+
+
 def cut_branch(dbg: DBG, branch_threshold: float = 0.5) -> int:
     """One tip-clipping round (graph.h:830-926), fully device-side.
 
@@ -209,34 +212,123 @@ def delete_erroneous(dbg: DBG, length_cut: int, coverage_cut: float) -> int:
     return n_kill
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _cut_branch_fixed_point(si0, so0, alive0, counts, k: int,
+                            branch_threshold, iters: int):
+    """The WHOLE cutBranchIterative fixed point in one executable: each
+    device round re-masks the original adjacency by the surviving alive
+    set, relabels (pointer doubling), and applies the tip decision —
+    zero host round trips between rounds (each dispatch+sync costs
+    ~0.5-1 s over the device link and clipping takes 2-3 rounds per k
+    step)."""
+    from .dbg import _label_core, _mask_topo_core
+
+    def cond(state):
+        return state[2] > 0
+
+    def body(state):
+        alive, total, _ = state
+        si, so, _out, od, isj = _mask_topo_core(si0, so0, alive)
+        uid, _upos, _uo, num_u, ulen, ucov, _uh, utail = _label_core(
+            si, so, od, isj, alive, counts, iters)
+        # uhead for the kernel: heads_idx output (=_uh) is per-unitig
+        node_kill, n_kill = _cut_branch_kernel_core(
+            si, so, od, isj, counts, uid, ulen, ucov, _uh, utail,
+            num_u, k, branch_threshold)
+        return alive & ~node_kill, total + n_kill, n_kill
+
+    alive, total, _ = jax.lax.while_loop(
+        cond, body, (alive0, jnp.int32(0), jnp.int32(1)))
+    return alive, total
+
+
 def cut_branch_iterative(dbg: DBG, branch_threshold: float = 0.5) -> int:
     """cutBranchIterative (graph.h:1830-1845): fixed point of tip clipping.
     Relabeling between rounds merges chains like concatinateNodes."""
+    import math as _math
+
+    from .dbg import _mask_topo_kernel
+
     LOG.info("removing branches...")
-    total = 0
-    while True:
-        n = cut_branch(dbg, branch_threshold)
-        LOG.counter("NUM_CUT", n)
-        if n == 0:
-            break
-        total += n
+    si0, so0, _o, _od, _isj = dbg.topo
+    iters = max(1, _math.ceil(_math.log2(max(dbg.capacity, 2))) + 1)
+    alive, total = _cut_branch_fixed_point(
+        si0, so0, dbg.alive, dbg.counts, dbg.k,
+        jnp.float32(branch_threshold), iters)
+    total = int(total)
+    LOG.counter("NUM_CUT", total)
+    if total:
+        dbg.alive = alive
+        dbg._topo = _mask_topo_kernel(si0, so0, alive)
+        dbg._unitigs = None
+        dbg._unitigs_dev = None
     return total
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _delete_erroneous_fixed_point(si0, so0, alive0, counts, k: int,
+                                  branch_threshold, length_cut,
+                                  coverage_cut, iters: int):
+    """deleteErroneousStraightNodeIterative as ONE executable: each round
+    = cutBranch decision + apply + relabel + deleteErroneous decision +
+    apply (the reference alternates the two per round)."""
+    from .dbg import _label_core, _mask_topo_core
+
+    def one_label(alive):
+        si, so, _o, od, isj = _mask_topo_core(si0, so0, alive)
+        return (si, so, od, isj), _label_core(si, so, od, isj, alive,
+                                              counts, iters)
+
+    def cond(state):
+        return state[2] > 0
+
+    def body(state):
+        alive, total, _ = state
+        (si, so, od, isj), lab = one_label(alive)
+        uid, _up, _uo, num_u, ulen, ucov, uh, ut = lab
+        kill1, n1 = _cut_branch_kernel_core(
+            si, so, od, isj, counts, uid, ulen, ucov, uh, ut,
+            num_u, k, branch_threshold)
+        alive1 = alive & ~kill1
+        _topo2, lab2 = one_label(alive1)
+        uid2, _up2, _uo2, num_u2, ulen2, ucov2, _uh2, _ut2 = lab2
+        ucap = ulen2.shape[0]
+        in_range = jnp.arange(ucap) < num_u2
+        kill_u = in_range & (ulen2 < length_cut) \
+            & (ucov2.astype(jnp.float32) < coverage_cut)
+        n2 = jnp.sum(kill_u.astype(jnp.int32))
+        kill2 = (uid2 >= 0) & kill_u[jnp.clip(uid2, 0, ucap - 1)]
+        return alive1 & ~kill2, total + n1 + n2, n1 + n2
+
+    alive, total, _ = jax.lax.while_loop(
+        cond, body, (alive0, jnp.int32(0), jnp.int32(1)))
+    return alive, total
 
 
 def delete_erroneous_iterative(dbg: DBG, length_cut: int, coverage_cut: float,
                                branch_threshold: float = 0.5) -> int:
     """deleteErroneousStraightNodeIterative (graph.h:2086-2106): alternate
-    cutBranch + deleteErroneousStraightNode until quiescent."""
+    cutBranch + deleteErroneousStraightNode until quiescent — fused on
+    device like cut_branch_iterative."""
+    import math as _math
+
+    from .dbg import _mask_topo_kernel
+
     LOG.info("removing erroneous nodes...")
-    total = 0
-    while True:
-        n = cut_branch(dbg, branch_threshold)
-        n += delete_erroneous(dbg, length_cut, coverage_cut)
-        LOG.counter("NUM_REMOVED_NODES", n)
-        if n == 0:
-            break
-        total += n
+    si0, so0, _o, _od, _isj = dbg.topo
+    iters = max(1, _math.ceil(_math.log2(max(dbg.capacity, 2))) + 1)
+    alive, total = _delete_erroneous_fixed_point(
+        si0, so0, dbg.alive, dbg.counts, dbg.k,
+        jnp.float32(branch_threshold),
+        jnp.int32(min(length_cut, 2**31 - 1)),
+        jnp.float32(min(coverage_cut, 3.4e38)), iters)
+    total = int(total)
     LOG.counter("TOTAL_NUM_REMOVED_NODES", total)
+    if total:
+        dbg.alive = alive
+        dbg._topo = _mask_topo_kernel(si0, so0, alive)
+        dbg._unitigs = None
+        dbg._unitigs_dev = None
     return total
 
 

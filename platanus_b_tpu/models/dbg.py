@@ -59,17 +59,7 @@ def _mask_topo_kernel(succ_idx, succ_orient, alive_new):
     the new degrees. NO key lookups — deletion can only REMOVE edges, so
     the expensive binary-search adjacency build runs once per graph and
     cleaning rounds update it by masking."""
-    cap = alive_new.shape[0]
-    tgt_ok = (succ_idx >= 0) & alive_new[jnp.clip(succ_idx, 0, cap - 1)]
-    ok = tgt_ok & alive_new[:, None, None]
-    si = jnp.where(ok, succ_idx, INVALID)
-    so = jnp.where(ok, succ_orient, 0)
-    out = jnp.sum(jnp.where(si >= 0,
-                            jnp.uint8(1) << jnp.arange(4, dtype=jnp.uint8),
-                            0), axis=-1).astype(jnp.uint8)
-    outdeg = popcount4(out)
-    is_junction = alive_new & ((outdeg[:, 0] >= 2) | (outdeg[:, 1] >= 2))
-    return si, so, out, outdeg, is_junction
+    return _mask_topo_core(succ_idx, succ_orient, alive_new)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -169,9 +159,8 @@ def _doubling_rank(ptr, rank, anchor, iters):
     return ptr, rank, anchor
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _label_kernel(succ_idx, succ_orient, outdeg, is_junction, alive, counts,
-                  iters: int):
+def _label_core(succ_idx, succ_orient, outdeg, is_junction, alive, counts,
+                iters: int):
     cap = alive.shape[0]
     m = 2 * cap
 
@@ -282,6 +271,26 @@ def _label_kernel(succ_idx, succ_orient, outdeg, is_junction, alive, counts,
     utail = tail[heads_idx]
 
     return uid, upos, uorient, num_u, ulen, ucov, heads_idx, utail
+
+
+_label_kernel = functools.partial(jax.jit,
+                                  static_argnames=("iters",))(_label_core)
+
+
+def _mask_topo_core(succ_idx, succ_orient, alive_new):
+    """Traceable body of _mask_topo_kernel (shared with the fused
+    cut-branch fixed point)."""
+    cap = alive_new.shape[0]
+    tgt_ok = (succ_idx >= 0) & alive_new[jnp.clip(succ_idx, 0, cap - 1)]
+    ok = tgt_ok & alive_new[:, None, None]
+    si = jnp.where(ok, succ_idx, INVALID)
+    so = jnp.where(ok, succ_orient, 0)
+    out = jnp.sum(jnp.where(si >= 0,
+                            jnp.uint8(1) << jnp.arange(4, dtype=jnp.uint8),
+                            0), axis=-1).astype(jnp.uint8)
+    outdeg = popcount4(out)
+    is_junction = alive_new & ((outdeg[:, 0] >= 2) | (outdeg[:, 1] >= 2))
+    return si, so, out, outdeg, is_junction
 
 
 @dataclass
