@@ -118,31 +118,41 @@ def count_reads_device(batches: list[ReadBatch], k: int):
         no_n = not any(b.has_n for b in live)
         packed = [b.packed() for b in live]
         wmax = max(p[0].shape[1] for p in packed)
+        max_len = max(b.max_len for b in live)
         wparts, nparts, lparts = [], [], []
         for b, (wds, nmk) in zip(live, packed):
+            # live rows only: batch pow2 row padding would ride every sort
+            wds = wds[: b.num_reads]
+            nmk = nmk[: b.num_reads]
             if wds.shape[1] < wmax:
                 wds = np.pad(wds, ((0, 0), (0, wmax - wds.shape[1])))
                 nmk = np.pad(nmk, ((0, 0), (0, wmax // 2 - nmk.shape[1])),
                              constant_values=0xFFFFFFFF)
             wparts.append(wds)
             nparts.append(nmk)
-            lens = np.zeros(wds.shape[0], np.int32)
-            lens[: b.num_reads] = b.lengths
-            lparts.append(lens)
+            lparts.append(np.asarray(b.lengths, np.int32))
         words = jnp.asarray(np.concatenate(wparts, axis=0))
-        if no_n:
+        uniform = (no_n and all(int(lp.min()) == int(lp.max()) == max_len
+                                for lp in lparts if len(lp)))
+        if uniform:
+            ulanes, ucounts, un, spilled, dhist = \
+                cnt.count_packed_uniform_hier(words, k, max_len,
+                                              max_len=max_len)
+        elif no_n:
             lengths = jnp.asarray(np.concatenate(lparts))
             ulanes, ucounts, un, spilled, dhist = cnt.count_packed_lens_hier(
-                words, lengths, k)
+                words, lengths, k, max_len=max_len)
         else:
             nmask = jnp.asarray(np.concatenate(nparts, axis=0))
             ulanes, ucounts, un, spilled, dhist = cnt.count_packed_hier(
-                words, nmask, k)
+                words, nmask, k, max_len=max_len)
         n, sp, hist = jax.device_get((un, spilled, dhist))  # one host sync
         n = int(n)
         if bool(sp):  # ultra-high unique density: redo with the full sort
             if no_n:
                 from ..ops.kmer import unpack_codes_lens
+                if uniform:
+                    lengths = jnp.full(words.shape[0], max_len, jnp.int32)
                 codes = unpack_codes_lens(words, lengths)
                 keys, _v = extract_canonical_kmers(codes, k)
                 lanes = tuple(keys[..., w].reshape(-1) for w in range(W))

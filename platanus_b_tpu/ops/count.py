@@ -300,8 +300,9 @@ def count_lanes_fused(lanes):
     return tuple(out[:W]), out[W], n_unique
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def count_packed_hier(words: jnp.ndarray, nmask: jnp.ndarray, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "max_len"))
+def count_packed_hier(words: jnp.ndarray, nmask: jnp.ndarray, k: int,
+                      max_len: int = 0):
     """ONE executable for the whole counting pipeline: unpack the 2-bit
     upload, extract canonical k-mer lanes, sort, segment-count, and
     hierarchically compact. A single dispatch matters over the device
@@ -310,20 +311,44 @@ def count_packed_hier(words: jnp.ndarray, nmask: jnp.ndarray, k: int):
     pipeline's 3.5 s).
 
     words/nmask are the row-concatenation of every batch's packed()
-    arrays. Returns (lanes, counts, n_unique, spilled) like
-    count_lanes_hier.
+    arrays; max_len (true longest read) caps the window count below the
+    16-base packing granularity. Returns (lanes, counts, n_unique,
+    spilled) like count_lanes_hier.
     """
     from .kmer import unpack_codes
-    return _count_codes_hier(unpack_codes(words, nmask), k)
+    codes = unpack_codes(words, nmask)
+    if max_len and max_len < codes.shape[1]:
+        codes = codes[:, :max_len]
+    return _count_codes_hier(codes, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def count_packed_lens_hier(words: jnp.ndarray, lengths: jnp.ndarray, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "max_len"))
+def count_packed_lens_hier(words: jnp.ndarray, lengths: jnp.ndarray, k: int,
+                           max_len: int = 0):
     """count_packed_hier for N-free read batches: the mask derives from
     lengths on device, skipping the nmask upload (a third of the wire
     bytes — the tunnel moves ~35-40 MB/s, so bytes ARE wall-clock)."""
     from .kmer import unpack_codes_lens
-    return _count_codes_hier(unpack_codes_lens(words, lengths), k)
+    codes = unpack_codes_lens(words, lengths)
+    if max_len and max_len < codes.shape[1]:
+        codes = codes[:, :max_len]
+    return _count_codes_hier(codes, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "read_len", "max_len"))
+def count_packed_uniform_hier(words: jnp.ndarray, k: int, read_len: int,
+                              max_len: int = 0):
+    """count_packed_lens_hier when every read has the same length: no
+    lengths upload at all (the wire carries exactly 2 bits/base)."""
+    R, WW = words.shape
+    base = jnp.stack([(words >> np.uint32(30 - 2 * i)) & 3
+                      for i in range(16)], axis=-1).astype(jnp.uint8)
+    base = base.reshape(R, WW * 16)
+    pad = jnp.arange(WW * 16, dtype=jnp.int32)[None, :] >= read_len
+    codes = jnp.where(pad, jnp.uint8(4), base)
+    if max_len and max_len < codes.shape[1]:
+        codes = codes[:, :max_len]
+    return _count_codes_hier(codes, k)
 
 
 def _count_codes_hier(codes, k: int):
