@@ -121,7 +121,7 @@ def dedup_max(sorted_keys: jnp.ndarray, sorted_vals: jnp.ndarray):
     # inv participates as the LAST SORT KEY (num_keys = W + 1), so each
     # run's first row holds its maximum value
     ops = tuple(sorted_keys[:, w] for w in range(W)) + (inv,)
-    out = jax.lax.sort(ops, num_keys=W + 1)
+    out = jax.lax.sort(ops, num_keys=W + 1, is_stable=False)
     rkeys = jnp.stack(out[:W], axis=-1)
     rvals = jnp.uint32(0xFFFFFFFF) - out[W]
     # after the (key, MAX-val) sort, each run's first row holds the run max;
