@@ -77,6 +77,103 @@ def _pad_codes(codes: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+@dataclass
+class StagedReads:
+    """Packed read stream staged in HBM: the input form of count_staged.
+
+    words is 2-bit packed bases (16/u32 word, device-resident); exactly
+    one of (uniform read_len | lengths | nmask) describes validity. This
+    is the steady-state ingest layout of the pipeline — the reference's
+    counterpart is its per-thread read tmp files resident in page cache
+    (counter.h:322-339 re-reads them every pass)."""
+
+    words: jax.Array                 # (R, Lw) u32, device
+    k_max_len: int                   # true longest read (caps windows)
+    uniform_len: int | None = None   # every read this long, no Ns
+    lengths: jax.Array | None = None  # (R,) i32, device (no Ns)
+    nmask: jax.Array | None = None   # (R, Lw/2) u32, device
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.words.shape[0])
+
+
+def stage_reads_device(batches: list[ReadBatch]) -> StagedReads:
+    """Host-pack all batches and ship them to HBM in ONE transfer.
+
+    Splitting staging from counting lets consumers that re-scan the read
+    stream (the per-k recount loop, bench steady state) pay the host pack
+    + transfer once and run every subsequent count from HBM."""
+    live = [b for b in batches if b.num_reads]
+    no_n = not any(b.has_n for b in live)
+    packed = [b.packed() for b in live]
+    wmax = max(p[0].shape[1] for p in packed)
+    max_len = max(b.max_len for b in live)
+    wparts, nparts, lparts = [], [], []
+    for b, (wds, nmk) in zip(live, packed):
+        # live rows only: batch pow2 row padding would ride every sort
+        wds = wds[: b.num_reads]
+        nmk = nmk[: b.num_reads]
+        if wds.shape[1] < wmax:
+            wds = np.pad(wds, ((0, 0), (0, wmax - wds.shape[1])))
+            nmk = np.pad(nmk, ((0, 0), (0, wmax // 2 - nmk.shape[1])),
+                         constant_values=0xFFFFFFFF)
+        wparts.append(wds)
+        nparts.append(nmk)
+        lparts.append(np.asarray(b.lengths, np.int32))
+    words = jnp.asarray(np.concatenate(wparts, axis=0))
+    uniform = (no_n and all(int(lp.min()) == int(lp.max()) == max_len
+                            for lp in lparts if len(lp)))
+    if uniform:
+        return StagedReads(words, max_len, uniform_len=max_len)
+    if no_n:
+        return StagedReads(words, max_len,
+                           lengths=jnp.asarray(np.concatenate(lparts)))
+    return StagedReads(words, max_len,
+                       nmask=jnp.asarray(np.concatenate(nparts, axis=0)))
+
+
+def count_staged(staged: StagedReads, k: int):
+    """Fused counting over a staged (device-resident) read stream.
+
+    One executable: unpack + canonical extract + sort + segment-count +
+    hierarchical compaction + histogram; one host sync (n/spill/hist).
+    Returns (keys (cap,W) device, counts device, n, hist host)."""
+    from ..ops.padding import next_pow2
+
+    W = num_words(k)
+    words, max_len = staged.words, staged.k_max_len
+    if staged.uniform_len is not None:
+        ulanes, ucounts, un, spilled, dhist = \
+            cnt.count_packed_uniform_hier(words, k, staged.uniform_len,
+                                          max_len=max_len)
+    elif staged.lengths is not None:
+        ulanes, ucounts, un, spilled, dhist = cnt.count_packed_lens_hier(
+            words, staged.lengths, k, max_len=max_len)
+    else:
+        ulanes, ucounts, un, spilled, dhist = cnt.count_packed_hier(
+            words, staged.nmask, k, max_len=max_len)
+    n, sp, hist = jax.device_get((un, spilled, dhist))  # one host sync
+    n = int(n)
+    if bool(sp):  # ultra-high unique density: redo with the full sort
+        if staged.nmask is None:
+            from ..ops.kmer import unpack_codes_lens
+            lengths = (jnp.full(words.shape[0], staged.uniform_len, jnp.int32)
+                       if staged.lengths is None else staged.lengths)
+            codes = unpack_codes_lens(words, lengths)
+            keys, _v = extract_canonical_kmers(codes, k)
+            lanes = tuple(keys[..., w].reshape(-1) for w in range(W))
+        else:
+            lanes = cnt.extract_lanes_packed(words, staged.nmask, k)
+        ulanes, ucounts, un = cnt.count_lanes_fused(lanes)
+        n = int(un)
+        hist = np.asarray(cnt.occurrence_histogram(ucounts))
+    cap2 = min(next_pow2(max(n, 1)), ulanes[0].shape[0])
+    keys = jnp.stack([ln[:cap2] for ln in ulanes], axis=-1)
+    counts = ucounts[:cap2].astype(jnp.uint32)
+    return keys, counts, n, np.asarray(hist)
+
+
 def count_reads_device(batches: list[ReadBatch], k: int):
     """Count canonical k-mers over all read batches, table left in HBM.
 
@@ -114,57 +211,7 @@ def count_reads_device(batches: list[ReadBatch], k: int):
         # ONE host concat + ONE transfer + ONE fused executable: per-batch
         # dispatches over the device tunnel cost tens of ms each and
         # dominated the round-3 pipeline (1.5 s of 3.5 s).
-        live = [b for b in batches if b.num_reads]
-        no_n = not any(b.has_n for b in live)
-        packed = [b.packed() for b in live]
-        wmax = max(p[0].shape[1] for p in packed)
-        max_len = max(b.max_len for b in live)
-        wparts, nparts, lparts = [], [], []
-        for b, (wds, nmk) in zip(live, packed):
-            # live rows only: batch pow2 row padding would ride every sort
-            wds = wds[: b.num_reads]
-            nmk = nmk[: b.num_reads]
-            if wds.shape[1] < wmax:
-                wds = np.pad(wds, ((0, 0), (0, wmax - wds.shape[1])))
-                nmk = np.pad(nmk, ((0, 0), (0, wmax // 2 - nmk.shape[1])),
-                             constant_values=0xFFFFFFFF)
-            wparts.append(wds)
-            nparts.append(nmk)
-            lparts.append(np.asarray(b.lengths, np.int32))
-        words = jnp.asarray(np.concatenate(wparts, axis=0))
-        uniform = (no_n and all(int(lp.min()) == int(lp.max()) == max_len
-                                for lp in lparts if len(lp)))
-        if uniform:
-            ulanes, ucounts, un, spilled, dhist = \
-                cnt.count_packed_uniform_hier(words, k, max_len,
-                                              max_len=max_len)
-        elif no_n:
-            lengths = jnp.asarray(np.concatenate(lparts))
-            ulanes, ucounts, un, spilled, dhist = cnt.count_packed_lens_hier(
-                words, lengths, k, max_len=max_len)
-        else:
-            nmask = jnp.asarray(np.concatenate(nparts, axis=0))
-            ulanes, ucounts, un, spilled, dhist = cnt.count_packed_hier(
-                words, nmask, k, max_len=max_len)
-        n, sp, hist = jax.device_get((un, spilled, dhist))  # one host sync
-        n = int(n)
-        if bool(sp):  # ultra-high unique density: redo with the full sort
-            if no_n:
-                from ..ops.kmer import unpack_codes_lens
-                if uniform:
-                    lengths = jnp.full(words.shape[0], max_len, jnp.int32)
-                codes = unpack_codes_lens(words, lengths)
-                keys, _v = extract_canonical_kmers(codes, k)
-                lanes = tuple(keys[..., w].reshape(-1) for w in range(W))
-            else:
-                lanes = cnt.extract_lanes_packed(words, nmask, k)
-            ulanes, ucounts, un = cnt.count_lanes_fused(lanes)
-            n = int(un)
-            hist = np.asarray(cnt.occurrence_histogram(ucounts))
-        cap2 = min(next_pow2(max(n, 1)), ulanes[0].shape[0])
-        keys = jnp.stack([ln[:cap2] for ln in ulanes], axis=-1)
-        counts = ucounts[:cap2].astype(jnp.uint32)
-        return keys, counts, n, np.asarray(hist)
+        return count_staged(stage_reads_device(batches), k)
 
     acc = cnt.TableAccumulator(W)
     # chunking: extraction is per-batch (keeps transfer granularity), but
