@@ -12,7 +12,8 @@ import numpy as np
 
 from ..io import fasta as fa
 from ..io.reads import load_read_batches
-from ..models.assemble_core import AssembleOptions, assemble
+from ..models.assemble_core import (AssembleOptions, assemble,
+                                    assemble_repeat)
 from ..ops import count as cnt
 from ..utils.log import LOG
 
@@ -74,7 +75,14 @@ def run(args) -> int:
         files = (mh.host_read_plan(splittable) + [
             (p, 0, -1) for p in mh.host_shard(whole)])
     batches = list(load_read_batches(files))
-    result = assemble(batches, opts)
+    # -repeat (without -kmer_occ_only) runs the 3-pass + merge flow;
+    # `iterate`'s countKmer stage uses -repeat -kmer_occ_only, where the
+    # reference returns after the factor-0 initial count
+    # (assemble.cpp:189-192), i.e. plain single-pass counting
+    if args.repeat and not args.kmer_occ_only:
+        result = assemble_repeat(batches, opts)
+    else:
+        result = assemble(batches, opts)
 
     if mh.process_count() > 1 and mh.process_index() != 0:
         # all hosts hold the identical result (global merges); only host 0

@@ -969,6 +969,8 @@ class AssembleOptions:
     memory_gb: float = 0.0       # -m device memory budget (0 = unlimited)
     divide_straight: bool = False  # divideStraightNode pass (disabled in
                                    # the reference: assemble.cpp:396,528)
+    coverage_cutoff_factor: float = 0.0  # one -repeat pass's factor
+                                         # (assemble.cpp:158,324-325)
 
     @property
     def min_log_p_join(self) -> float:
@@ -1049,9 +1051,11 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
     cutoff0 = cnt.coverage_cutoff(hist, manual=opts.manual_cutoff,
                                   repeat_mode=opts.repeat_mode)
     average_coverage = cnt.distribution_average(hist, cutoff0, cnt.MAX_OCCURRENCE)
-    coverage_cutoff_factor = 0.0  # MAX_COVERAGE_CUTOFF_FACTOR=0 (assemble.cpp:46)
-    if average_coverage * coverage_cutoff_factor > cutoff0:
-        cutoff0 = int(average_coverage * coverage_cutoff_factor)
+    # coverageCutoffFactor: 0 in normal mode; -repeat runs the WHOLE
+    # assembly at factor 0, 1, 2 (assemble.cpp:148-158, raise at :324-325)
+    # — assemble_repeat drives those passes
+    if average_coverage * opts.coverage_cutoff_factor > cutoff0:
+        cutoff0 = int(average_coverage * opts.coverage_cutoff_factor)
     average_coverage = cnt.distribution_average(hist, cutoff0, cnt.MAX_OCCURRENCE)
     if opts.fixed_average_coverage:
         average_coverage = opts.fixed_average_coverage
@@ -1137,8 +1141,11 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
     bubbles: list[clean.CrushedBubble] = []
     if opts.bubble_threshold > 0:
         LOG.counter("AVE_KMER_COV_REMOVING_BUBBLE", average_coverage)
-        clean.crush_bubble_iterative(dbg, average_coverage,
-                                     opts.bubble_threshold, bubbles)
+        # -repeat overrides the graph's bubble identity threshold with
+        # REPEAT_MODE_BUBBLE_IDENTITY_THRESHOLD (assemble.cpp:126-128,45)
+        bub_thr = 0.95 if opts.repeat_mode else opts.bubble_threshold
+        clean.crush_bubble_iterative(dbg, average_coverage, bub_thr,
+                                     bubbles)
 
     # optional read-mapping node division (the reference keeps this pass
     # commented out at assemble.cpp:396,528; opt-in via -divide_straight)
@@ -1169,3 +1176,65 @@ def assemble(batches: list[ReadBatch], opts: AssembleOptions) -> AssembleResult:
     return AssembleResult(contigs, contig_covs, junctions, junction_covs,
                           bubbles, average_length, k_last,
                           kmer_table=table, hist0=hist0, k0=k0)
+
+
+def assemble_repeat(batches: list[ReadBatch],
+                    opts: AssembleOptions) -> AssembleResult:
+    """`assemble -repeat`: THREE full assembly passes at
+    coverageCutoffFactor 0, 1, 2, accumulating every pass's contig set,
+    then a contig-level DBG merge (assemble.cpp:148-261).
+
+    Pass structure: the factor raises the initial coverage cutoff to
+    max(normal cutoff, averageCoverage * factor) (assemble.cpp:324-325),
+    so later passes keep only progressively higher-coverage (repeat)
+    k-mers; the merge re-k-merizes the union of all passes' contigs at
+    the final k (mergeContig, assemble.cpp:270-296: per-k-mer value =
+    MAX over sources of max(coverage, 1), counter.h:511-593), builds a
+    DBG over ALL of them (cutoff 0), branch-cuts, bubble-crushes at the
+    repeat identity threshold 0.95 (assemble.cpp:276-278,45) with the
+    average coverage excluding outliers (common.h:747-770), and emits
+    the merged unitigs only — repeat-mode output has no junction records
+    (assemble.cpp:238-242 prints contigFP alone)."""
+    from dataclasses import replace
+
+    from ..commands.merge_cmd import (average_coverage_excluding_outlier,
+                                      count_from_contigs)
+
+    all_seqs: list[np.ndarray] = []
+    all_covs: list[int] = []
+    max_k = 0
+    average_length = 0.0
+    hist0 = None
+    k0 = opts.k
+    for factor in (0, 1, 2):
+        LOG.info(f"REPEAT_MODE_PASS: coverageCutoffFactor = {factor}")
+        r = assemble(batches, replace(opts,
+                                      coverage_cutoff_factor=float(factor)))
+        # contig records accumulate with the u16(cov + 0.5) rounding of
+        # saveContigSimple (graph.h:1788); junction records go to a file
+        # the merge never reads (assemble.cpp:241-244)
+        all_seqs.extend(r.contigs)
+        all_covs.extend(min(int(c + 0.5), 0xFFFF) for c in r.contig_covs)
+        max_k = max(max_k, r.max_k)
+        average_length = r.average_length
+        if hist0 is None:
+            hist0 = r.hist0
+
+    lens = [len(s) for s in all_seqs]
+    avg_cov = average_coverage_excluding_outlier(lens, all_covs)
+    with LOG.stage(f"K = {max_k}, merging contigs (repeat mode)"):
+        table = count_from_contigs(all_seqs, np.asarray(all_covs, np.float64),
+                                   max_k, min_occurrence=1)
+        dbg = build_dbg_from_table(table, 0)
+        clean.cut_branch_iterative(dbg, opts.branch_threshold)
+        clean.crush_bubble_iterative(dbg, avg_cov, 0.95)
+
+    ratio = average_length / (average_length - max_k + 1.0)
+    u = dbg.label_unitigs()
+    fflat, foffs, flens = dbg.unitig_sequences_flat()
+    contigs = [fflat[foffs[i]: foffs[i] + flens[i]]
+               for i in range(u.num_unitigs)]
+    contig_covs = [float(u.ucov[i]) * ratio for i in range(u.num_unitigs)]
+    return AssembleResult(contigs, contig_covs, [], [], [],
+                          average_length, max_k, kmer_table=table,
+                          hist0=hist0, k0=k0)
