@@ -201,13 +201,58 @@ def main():
         print(f"[{variant}] platanus_b_tpu solve_dbg: {tpu_wall:.1f} s",
               flush=True)
 
-        out[variant] = {"reference": {"wall_s": round(ref_wall, 2)},
-                        "platanus_b_tpu": {"wall_s": round(tpu_wall, 2)}}
+        # strict-parity mode: DBG_OVERLAP-gated diamonds + heteroCoverage
+        # preset — must reproduce the reference's partition (0 bubbles on
+        # these inputs); the default mode keeps the documented superset
+        # behavior that actively pairs haplotypes
+        cwd0 = os.getcwd()
+        os.chdir(wd)
+        t0 = time.time()
+        try:
+            rc = cli_main(["solve_dbg", "-c", f"{asm_prefix}_contig.fa"]
+                          + bargs + ["-IP1", "r1.fa", "r2.fa",
+                                     "-strict_phase",
+                                     "-tmp", ".", "-o",
+                                     f"tpustrict_{variant}"])
+        finally:
+            os.chdir(cwd0)
+        strict_wall = time.time() - t0
+        assert rc == 0, "platanus_b_tpu solve_dbg -strict_phase failed"
+        print(f"[{variant}] platanus_b_tpu strict: {strict_wall:.1f} s",
+              flush=True)
+
+        out[variant] = {
+            "reference": {"wall_s": round(ref_wall, 2)},
+            "platanus_b_tpu": {"wall_s": round(tpu_wall, 2)},
+            "platanus_b_tpu_strict": {"wall_s": round(strict_wall, 2)}}
         for suf in SUFFIXES:
             out[variant]["reference"][suf] = fasta_stats(
                 os.path.join(wd, f"ref_{variant}" + suf), hap_a, hap_b)
             out[variant]["platanus_b_tpu"][suf] = fasta_stats(
                 os.path.join(wd, f"tpu_{variant}" + suf), hap_a, hap_b)
+            out[variant]["platanus_b_tpu_strict"][suf] = fasta_stats(
+                os.path.join(wd, f"tpustrict_{variant}" + suf),
+                hap_a, hap_b)
+        sp = all(
+            out[variant]["reference"][s]["sorted_set_sha256"] ==
+            out[variant]["platanus_b_tpu_strict"][s]["sorted_set_sha256"]
+            for s in SUFFIXES)
+        out[variant]["strict_set_parity_all_files"] = sp
+    out["known_divergence"] = (
+        "Default mode phases aggressively while the reference classifies "
+        "0 primary/secondary bubbles on both variants: the reference's "
+        "bubble diamonds are sought only over PairedDBG edges flagged "
+        "DBG_OVERLAP (pairedDBG.cpp:866-913 via getOverlappedNode "
+        ":1051-1059), which exist solely for overlaps EXACTLY equal to "
+        "minOverlap (storeGraphLinkFromOverlap :92), with heteroCoverage "
+        "preset to contigAverage/2 (solveDBG.cpp:807) — on contigs whose "
+        "dbg joins overlap by maxK-1 != minOverlap the gate admits "
+        "nothing, so the flow is vestigial for Platanus_B's own "
+        "toolchain (it descends from Platanus-allee). The "
+        "platanus_b_tpu_strict records above run with -strict_phase, "
+        "which mirrors that gate and preset exactly; default mode keeps "
+        "the quality win (it recovers haplotype pairs the reference "
+        "leaves unpaired).")
     path = os.path.join(REPO, "parity",
                         f"PARITY_phase_{args.genome_size}.json")
     with open(path, "w") as f:

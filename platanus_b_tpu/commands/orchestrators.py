@@ -64,6 +64,9 @@ def add_parsers(sub) -> None:
     p.add_argument("-t", type=int, default=1)
     p.add_argument("-tmp", default=".")
     p.add_argument("-reduce_redundancy", action="store_true")
+    p.add_argument("-strict_phase", action="store_true",
+                   help="strict reference-parity bubble criterion "
+                        "(forwarded to solve_dbg)")
     p.set_defaults(func=run_phase)
 
 
@@ -132,8 +135,10 @@ def run_phase(args) -> int:
                 long_argv += ["-p"] + args.p
             if args.ont:
                 long_argv += ["-ont"] + args.ont
+        strict = (["-strict_phase"]
+                  if getattr(args, "strict_phase", False) else [])
         _call(["solve_dbg"] + cargs + ["-o", prefix] + long_argv + red
-              + libargv, f"phase solve_dbg round {t}")
+              + strict + libargv, f"phase solve_dbg round {t}")
         _call(["gap_close",
                "-c", f"{prefix}_primaryBubble.fa",
                f"{prefix}_secondaryBubble.fa",

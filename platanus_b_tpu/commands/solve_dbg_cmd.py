@@ -69,6 +69,13 @@ def add_parser(sub) -> None:
     p.add_argument("-trim_overlap", action="store_true",
                    help="trim overlapping scaffold edges")
     p.add_argument("-no_scaffold", action="store_true")
+    p.add_argument("-strict_phase", action="store_true",
+                   help="strict reference-parity phasing: bubble diamonds "
+                        "only over DBG_OVERLAP-gated edges (overlap == "
+                        "minOverlap exactly, pairedDBG.cpp:92,1051-1059) "
+                        "with heteroCoverage preset to contigAverage/2 "
+                        "(solveDBG.cpp:807); default keeps the documented "
+                        "superset behavior that pairs more haplotigs")
     p.set_defaults(func=run)
 
 
@@ -493,6 +500,27 @@ def run_phasing(args) -> int:
     sources = list(zip(libs, mapped))
     tag_mode = "tag" if graph.contig_tag is not None else "link"
 
+    strict = getattr(args, "strict_phase", False)
+    if strict:
+        # strict reference parity: DBG_OVERLAP edge gate + heteroCoverage
+        # preset (solveDBG.cpp:802-807 — calculateHeteroCoverage never
+        # runs in solve_DBG because the preset is > 0); the average uses
+        # calculateAverageCoverageExcludingOutlier at the median length
+        from .merge_cmd import average_coverage_excluding_outlier
+        graph.strict_dbg_overlap = True
+        lens = [len(c) for c in graph.contig]
+        avg = average_coverage_excluding_outlier(lens, graph.coverage)
+        graph.average_coverage = avg
+        graph.hetero_coverage = avg / 2.0
+        LOG.counter("PRESET_HETERO_COVERAGE", graph.hetero_coverage)
+        # the reference's flow-wide minOverlap is minOverlapForScaffolding
+        # (-v, solveDBG.cpp:760), raised to contigMaxK-1 only around the
+        # long-read sections (:474-483); the exact-equality gate therefore
+        # tests overlap == -v, which dbg-join overlaps (maxK-1) fail —
+        # that IS why the reference finds zero diamonds on its own
+        # assemble outputs
+        graph.min_overlap = args.v
+
     def rebuild_pe():
         graph.make_graph()
 
@@ -693,15 +721,26 @@ def run_phasing(args) -> int:
     # graph-tracked pairing first (outputResultSeqWithBubble semantics),
     # then a post-hoc containment-alignment fallback pairs leftover
     # haplotigs that never acquired graph links (HeteroMapper mergeBubble
-    # analogue — strictly additive over the reference's classification)
+    # analogue — strictly additive over the reference's classification).
+    # -strict_phase disables the fallback: classification is then EXACTLY
+    # the reference's pair-flag/secondary-state partition
+    # (pairedDBG.cpp:2327-2389)
     paired, hetero_recs, _other, leftovers = bb.classify_result_nodes(
         graph, results)
     from ..models.phasing import (PhaseBlock, classify_phase_blocks,
                                   write_phase_outputs)
-    leftover_results = [r for r, _cov in leftovers]
-    pairs, hetero_ids, other_ids, blocks = classify_phase_blocks(
-        leftover_results, [], graph.average_coverage,
-        hetero_coverage=graph.hetero_coverage)
+    if strict:
+        # unpaired non-secondary records ARE non_bubble_other
+        # (pairedDBG.cpp:2369-2386 else-branch); no alignment fallback
+        pairs, hetero_ids, other_ids, blocks = [], [], [], []
+        for r, cov in leftovers:
+            blocks.append(PhaseBlock(seq=r.seq, coverage=cov, source=-2))
+            other_ids.append(len(blocks) - 1)
+    else:
+        leftover_results = [r for r, _cov in leftovers]
+        pairs, hetero_ids, other_ids, blocks = classify_phase_blocks(
+            leftover_results, [], graph.average_coverage,
+            hetero_coverage=graph.hetero_coverage)
     for r, cov in hetero_recs:
         blocks.append(PhaseBlock(seq=r.seq, coverage=cov, source=-2,
                                  secondary=True))

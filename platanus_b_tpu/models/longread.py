@@ -80,13 +80,29 @@ class Preset:
     # preset scoring: map-ont/pb A2 B4 -> 2-6d < 0 at d=1/3; asm10
     # A1 B9 O16 -> 1-10d < 0 at d~0.1.
     zdrop_frac: float = 0.35
+    # extension scoring (minimap2 -A/-B per preset): drives the
+    # best-scoring-run trim that reproduces where ksw2 extension stops
+    # (mapper.cpp:1855-2001 consumers read the trimmed extents)
+    match_score: int = 2       # -A (map-ont/map-pb: 2)
+    mismatch_cost: int = 4     # -B (map-ont/map-pb: 4)
+    gap_open: int = 4          # -q (asm10: 16)
+    gap_ext: int = 2           # -e
+    zdrop: int = 400           # -z absolute score drop (options.c:39,95)
+    # verification segment span: asm10 uses fine segments so a
+    # few-hundred-bp divergent patch concentrates in 1-2 segments and
+    # triggers the z-drop split exactly where minimap2 ends its
+    # alignment (coarse segments smear such patches below the density
+    # threshold — the round-4 extent_delta_mean_frac=0.66 cause)
+    seg_span: int = 1024
 
 
 PRESETS = {
     "map-ont": Preset("map-ont", k=15, w=10),
     "map-pb": Preset("map-pb", k=15, w=5),
     "asm10": Preset("asm10", k=19, w=19, max_gap=10000, min_chain_score=100,
-                    min_chain_anchors=5, zdrop_frac=0.12),
+                    min_chain_anchors=5, zdrop_frac=0.12,
+                    match_score=1, mismatch_cost=9, seg_span=256,
+                    gap_open=16, gap_ext=2, zdrop=200),
 }
 
 
@@ -193,7 +209,10 @@ class LongReadAligner:
                     chunk[ri] if verify else None))
             out.extend(self._chain_groups(groups))
         if verify:
-            out = verify_alignments_batched(out, zdrop_frac=p.zdrop_frac)
+            out = verify_alignments_batched(out, zdrop_frac=p.zdrop_frac,
+                                            match_score=p.match_score,
+                                            mismatch_cost=p.mismatch_cost,
+                                            zdrop=p.zdrop)
         return out
 
     def _chain_groups(self, groups) -> list[Alignment]:
@@ -257,7 +276,7 @@ class LongReadAligner:
             segments = None
             if oq is not None:
                 segments = _chain_segments(oq, self.targets[ti], qs_r,
-                                           ts_r, p.k)
+                                           ts_r, p.k, p.seg_span)
             out.append(Alignment(
                 q_name=qname, q_len=qlen, q_start=q_start, q_end=q_end,
                 strand="-" if rev else "+", t_name=self.names[ti],
@@ -324,28 +343,48 @@ SEG_BAND = 128
 
 
 def _chain_segments(oq: np.ndarray, t: np.ndarray, qs_r: np.ndarray,
-                    ts_r: np.ndarray, k: int) -> list:
+                    ts_r: np.ndarray, k: int,
+                    seg_span: int = SEG_SPAN) -> list:
     """Split a chain into anchor-aligned (query, target) sub-blocks for
     base-level verification: boundaries at chain anchors, cut whenever the
-    running span exceeds SEG_SPAN. Each block's banded edit distance sums
+    running span exceeds seg_span. Each block's banded edit distance sums
     to an upper bound of the chain's edits (anchors pin the path).
     Entries are (q_seg, t_seg, qq_a, ts_a, qq_b, ts_b) with the chain-space
     coordinate bounds — the z-drop split (verify_alignments_batched) cuts
     alignments back to per-segment boundaries."""
     segs = []
+
+    def emit(qa, ta, qb, tb):
+        # anchor-desert subdivision: a block much longer than seg_span
+        # has no interior anchors (divergence kills sketch k-mers there);
+        # cut it into proportional sub-blocks so a few-hundred-bp
+        # divergent patch concentrates in one sub-block instead of
+        # diluting below the z-drop density threshold. The banded DP
+        # absorbs the interpolated boundaries' indel drift.
+        span = max(qb - qa, tb - ta)
+        desert = span > seg_span  # no interior anchors over > seg_span
+        parts = -(-span // seg_span) if span > 2 * seg_span else 1
+        for pi in range(parts):
+            q0 = qa + (qb - qa) * pi // parts
+            q1 = qa + (qb - qa) * (pi + 1) // parts
+            t0 = ta + (tb - ta) * pi // parts
+            t1 = ta + (tb - ta) * (pi + 1) // parts
+            segs.append((oq[q0:q1], t[t0:t1], q0, t0, q1, t1, desert))
+
     a = 0
     n = len(qs_r)
     for b in range(1, n):
-        if (qs_r[b] - qs_r[a] >= SEG_SPAN or ts_r[b] - ts_r[a] >= SEG_SPAN
+        if (qs_r[b] - qs_r[a] >= seg_span or ts_r[b] - ts_r[a] >= seg_span
                 or b == n - 1):
             tail = k if b == n - 1 else 0
             qa, qb = int(qs_r[a]), int(qs_r[b]) + tail
             ta, tb = int(ts_r[a]), int(ts_r[b]) + tail
-            segs.append((oq[qa:qb], t[ta:tb], qa, ta, qb, tb))
+            emit(qa, ta, qb, tb)
             a = b
     if not segs:  # single-anchor chain
         qa, ta = int(qs_r[0]), int(ts_r[0])
-        segs.append((oq[qa: qa + k], t[ta: ta + k], qa, ta, qa + k, ta + k))
+        segs.append((oq[qa: qa + k], t[ta: ta + k], qa, ta, qa + k,
+                     ta + k, False))
     return segs
 
 
@@ -359,18 +398,27 @@ MIN_PIECE = 100
 
 
 def verify_alignments_batched(alignments: list[Alignment],
-                              zdrop_frac: float = Z_DROP_FRAC
-                              ) -> list[Alignment]:
+                              zdrop_frac: float = Z_DROP_FRAC,
+                              match_score: int = 2,
+                              mismatch_cost: int = 4,
+                              zdrop: int = 400) -> list[Alignment]:
     """Base-level identity for every alignment in one batched call, plus
-    z-drop-style splitting at divergent segments.
+    z-drop-style splitting at divergent segments and a best-scoring-run
+    trim that reproduces minimap2's extension extents.
 
     TPU: the Pallas banded-edit-distance kernel (ops.pallas_align — the
     ksw2_extz2 replacement). CPU: numpy banded DP (models.hetero). Each
     alignment's matches become the sum of its segments' (span - edits);
     segments with edit density > Z_DROP_FRAC split the alignment into
-    separate pieces (the divergent segment itself is dropped), mirroring
-    minimap2's z-drop termination at divergent regions. Returns the new
-    alignment list (pieces replace their originals)."""
+    separate pieces (the divergent segment itself is dropped). Within
+    each surviving run, segments score A*(span-edits) - B*edits with the
+    preset's -A/-B weights and the MAXIMUM-SCORING CONTIGUOUS sub-run is
+    kept (Kadane): minimap2's z-drop acts DURING ksw2 extension and the
+    reported extent is the best-scoring prefix (align.c), so mildly
+    divergent tails that our chain still anchors must be trimmed back —
+    round-4's post-hoc density test alone left extents 66% long
+    (parity/LONGREAD_fidelity.json extent_delta_mean_frac). Returns the
+    new alignment list (pieces replace their originals)."""
     import jax
 
     pend = [(ai, a) for ai, a in enumerate(alignments) if a._segments]
@@ -399,15 +447,28 @@ def verify_alignments_batched(alignments: list[Alignment],
     # 2*SEG_SPAN only arise across truly divergent sequence (a 19-mer
     # anchor desert that long implies >>25% divergence) and are declared
     # divergent outright.
-    for si in np.flatnonzero(eds >= band_used):
-        span = max(len(qs[si]), len(ts[si]))
-        if zdrop_frac * span <= band_used:
-            continue  # saturated IS decisive at this span
+    # decisive re-measure: narrow-band values inflate on anchor-desert
+    # sub-blocks (interpolated boundaries carry indel drift the band
+    # reads as spurious edits) and saturate on genuinely divergent ones.
+    # Any segment above ~4% measured density re-measures at band=span/2
+    # (exact for these spans; host numpy, segments are <= ~2*seg_span).
+    # Deserts beyond 2*SEG_SPAN stay declared divergent outright: a
+    # sketch-k-mer desert that long implies divergence far beyond any
+    # preset's alignment ceiling.
+    spans_all = np.array([max(len(q), len(t)) for q, t in zip(qs, ts)],
+                         np.int64)
+    hot = np.flatnonzero(eds.astype(np.float64)
+                         > 0.04 * np.maximum(spans_all, 1))
+    for si in hot:
+        span = int(spans_all[si])
         if span > 2 * SEG_SPAN:
             eds[si] = span
-        else:
-            wide = int(zdrop_frac * span) + 2
-            eds[si] = min(align_scaffold(qs[si], ts[si], wide), span)
+        elif span:
+            # NOT min'd with the old value: the narrow-band measurement
+            # SATURATES at band+1, so it is a lower-bound indicator, not
+            # an upper bound
+            eds[si] = min(int(align_scaffold(qs[si], ts[si],
+                                             max(span // 2, 16))), span)
 
     out: list[Alignment] = [a for a in alignments if not a._segments]
     pos = 0
@@ -418,7 +479,12 @@ def verify_alignments_batched(alignments: list[Alignment],
         pos += len(segs)
         spans = np.array([max(len(s[0]), len(s[1])) for s in segs],
                          np.int64)
-        bad = seg_eds > zdrop_frac * spans
+        # hard cut only at UNALIGNABLE segments (random sequence measures
+        # ~0.5+ edit density); moderately divergent ones are judged by
+        # the score walk below, like minimap2's extension: a local 15%
+        # window inside a strong block survives (its score dip stays
+        # within zdrop) while a sustained divergence cliff cuts
+        bad = seg_eds > np.maximum(zdrop_frac, 0.4) * spans
         # runs of good segments -> one alignment piece each
         runs = []
         st = None
@@ -432,19 +498,59 @@ def verify_alignments_batched(alignments: list[Alignment],
         if st is not None:
             runs.append((st, len(segs)))
         rev = a.strand == "-"
+        # the -A/-B edit proxy is deliberately LENIENT (edits priced as
+        # mismatches, gaps never opened): minimap2 aligns a chain's
+        # interior globally between anchors with NO z-drop, so local
+        # dips inside an anchored chain must not cut — measured on the
+        # asm10 corpus, scoring deserts with the true affine (Gotoh)
+        # model instead shattered 5-6%-diverged alignments mm2 keeps
+        # whole (recovery 1.0 -> 0.70)
+        seg_score = (match_score * (spans - seg_eds)
+                     - mismatch_cost * seg_eds).astype(np.int64)
+        pieces = []
         for st, en in runs:
-            qq_a, ts_a = segs[st][2], segs[st][3]
-            qq_b, ts_b = segs[en - 1][4], segs[en - 1][5]
+            # z-drop walk (ksw2 semantics, minimap2 options.c -z): extend
+            # accumulating segment scores; when the score falls more than
+            # `zdrop` below its running max, the alignment ENDS at the
+            # max-score segment and a new piece restarts after it
+            i = st
+            while i < en:
+                while i < en and seg_score[i] <= 0:
+                    i += 1  # pieces start at a positive-scoring segment
+                if i >= en:
+                    break
+                cur, best, best_j = 0, -1, i
+                j = i
+                while j < en:
+                    cur += int(seg_score[j])
+                    if cur > best:
+                        best, best_j = cur, j
+                    elif cur >= best - zdrop // 4:
+                        # segment-sum greed underestimates the optimal
+                        # DP path through mild dips; ending at the LAST
+                        # near-max point tracks where ksw2's true
+                        # max-score cell lands
+                        best_j = j
+                    if best - cur > zdrop:
+                        break
+                    j += 1
+                pieces.append((i, best_j + 1))
+                i = best_j + 1
+        for st2, en2 in pieces:
+            qq_a, ts_a = segs[st2][2], segs[st2][3]
+            qq_b, ts_b = segs[en2 - 1][4], segs[en2 - 1][5]
             block = max(qq_b - qq_a, ts_b - ts_a)
-            if block < MIN_PIECE and len(runs) > 1:
+            if block < MIN_PIECE and len(pieces) > 1:
                 continue
-            matches = int(max(sum(spans[st:en]) - sum(seg_eds[st:en]), 0))
+            matches = int(max(sum(spans[st2:en2]) - sum(seg_eds[st2:en2]),
+                              0))
             if rev:
                 q_start, q_end = a.q_len - qq_b, a.q_len - qq_a
             else:
                 q_start, q_end = qq_a, qq_b
-            if len(runs) == 1 and not bad.any():
-                piece = a  # unsplit: keep the chain's own bounds/score
+            if (len(pieces) == 1 and not bad.any()
+                    and (st2, en2) == (0, len(segs))):
+                piece = a  # untrimmed: keep the chain's own bounds/score
                 piece.matches = int(max(a.block_len - int(sum(seg_eds)), 0))
                 piece._segments = None
             else:

@@ -101,6 +101,8 @@ class ScaffoldGraph:
         self.names = names or [f"contig{i+1}" for i in range(len(contigs))]
         self.num_contig = len(contigs)
         self.min_overlap = min_overlap
+        # strict-parity DBG_OVERLAP gate (see _node_overlap_adjacency)
+        self.strict_dbg_overlap = False
         self.hash_overlap = hash_overlap
         self.seed_length = seed_length
         self.tolerence = 0
@@ -766,7 +768,17 @@ class ScaffoldGraph:
     def _node_overlap_adjacency(self):
         """Node-level overlap neighbors from the contig overlap table:
         adj[signed node id] = right-end overlap successors (getOverlappedNode
-        equivalent over current nodes)."""
+        equivalent over current nodes).
+
+        strict_dbg_overlap mirrors the reference's DBG_OVERLAP edge gate:
+        getOverlappedNode only follows edges flagged DBG_OVERLAP
+        (pairedDBG.cpp:1051-1059), and those edges exist only for overlap
+        links whose overlap length equals minOverlap EXACTLY
+        (storeGraphLinkFromOverlap's `gap == -minOverlap` test,
+        pairedDBG.cpp:92; flag assignment at :613-614). The default (>=)
+        is this rebuild's deliberately more permissive criterion — it
+        recovers haplotype pairs the reference's gate leaves unpaired
+        (parity/PARITY_phase_300000.json known_divergence)."""
         end_owner: dict[int, int] = {}
         left_owner: dict[int, int] = {}
         for ni, n in enumerate(self.node):
@@ -778,8 +790,9 @@ class ScaffoldGraph:
             left_owner[n.contigs[0][0]] = nid
             left_owner[-n.contigs[-1][0]] = -nid
         adj: dict[int, set] = {}
+        strict = getattr(self, "strict_dbg_overlap", False)
         for (a, b), ov in self.overlap_table.items():
-            if ov < self.min_overlap:
+            if (ov != self.min_overlap) if strict else (ov < self.min_overlap):
                 continue
             for x, y in ((a, b), (-b, -a)):
                 n1 = end_owner.get(x)

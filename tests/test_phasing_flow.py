@@ -210,3 +210,41 @@ def test_recover_secondary_bubble(rng):
     assert sum(1 for nd in g.node if not (nd.state & SC_DEL)) == 2
     bb.remake_graph_recovering_secondary_bubble(g, snap)
     assert len(g.node) == 4
+
+
+def test_strict_dbg_overlap_gate(rng):
+    """-strict_phase bubble criterion: getOverlappedNode follows only
+    DBG_OVERLAP-flagged edges, which exist solely for overlaps EQUAL to
+    minOverlap (storeGraphLinkFromOverlap's gap == -minOverlap test,
+    pairedDBG.cpp:92; gate at :1051-1059). Default mode accepts any
+    overlap >= minOverlap (the documented superset criterion)."""
+    from platanus_b_tpu.models.hetero import get_overlapped_node
+
+    contigs = [seq_to_codes(simdata.random_genome(rng, 500))
+               for _ in range(4)]
+    g = ScaffoldGraph(contigs, np.full(4, 20.0), min_overlap=32,
+                      hash_overlap=32)
+    # source 1 -> branches 2,3 -> sink 4; branch overlaps 61 (dbg-join
+    # grade), source/sink overlaps exactly 32
+    g.overlap_table[(1, 2)] = 32
+    g.overlap_table[(1, 3)] = 32
+    g.overlap_table[(2, 4)] = 61
+    g.overlap_table[(3, 4)] = 61
+
+    adj = g._node_overlap_adjacency()
+    assert sorted(get_overlapped_node(adj, 1)) == [2, 3]
+    assert get_overlapped_node(adj, 2) == [4]
+
+    g.strict_dbg_overlap = True
+    adj = g._node_overlap_adjacency()
+    assert sorted(get_overlapped_node(adj, 1)) == [2, 3]
+    assert get_overlapped_node(adj, 2) == []    # 61 != minOverlap: gated
+    assert get_overlapped_node(adj, 3) == []
+
+    # with minOverlap raised to the dbg grade, the strict gate admits the
+    # 61-base overlaps and drops the 32s (minOverlap toggles through the
+    # flow exactly as the reference's setMinOverlap calls do)
+    g.min_overlap = 61
+    adj = g._node_overlap_adjacency()
+    assert get_overlapped_node(adj, 1) == []
+    assert get_overlapped_node(adj, 2) == [4]
