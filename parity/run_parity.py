@@ -340,6 +340,8 @@ def main() -> None:
                     default="assemble")
     ap.add_argument("--rounds", type=int, default=2,
                     help="iterate -i rounds (iterate mode)")
+    ap.add_argument("--tpu-reps", type=int, default=2,
+                    help="timed TPU-side assemble repetitions (min wins)")
     ap.add_argument("--count-baseline", action="store_true",
                     help="measure reference -kmer_occ_only wall clock on "
                          "bench.py's 4 Mbp dataset and exit")
@@ -393,11 +395,18 @@ def main() -> None:
         os.path.join(args.workdir, "ref_assemble.log"), args.workdir)
     ref_contigs = read_fasta(os.path.join(args.workdir, "ref_contig.fa"))
 
-    warm_device()
-    tpu_wall = run_timed(
-        [sys.executable, "-m", "platanus_b_tpu", "assemble", "-f", reads_fa,
-         "-k", str(args.k), "-o", os.path.join(args.workdir, "tpu")],
-        os.path.join(args.workdir, "tpu_assemble.log"), REPO)
+    # best-of-N timed runs: the tunnel link stalls for tens of seconds at
+    # a time (PROFILE.md), so a single-shot wall is a coin flip; the
+    # minimum is the steady-state estimator (same policy as bench.py)
+    tpu_walls = []
+    for _rep in range(args.tpu_reps):
+        warm_device()
+        tpu_walls.append(run_timed(
+            [sys.executable, "-m", "platanus_b_tpu", "assemble", "-f",
+             reads_fa, "-k", str(args.k),
+             "-o", os.path.join(args.workdir, "tpu")],
+            os.path.join(args.workdir, "tpu_assemble.log"), REPO))
+    tpu_wall = min(tpu_walls)
     tpu_contigs = read_fasta(os.path.join(args.workdir, "tpu_contig.fa"))
 
     ref_stats = seq_set_stats(ref_contigs) | genome_truth(ref_contigs, genome)
@@ -408,7 +417,9 @@ def main() -> None:
                     "seed": args.seed, "k0": args.k},
         "reference": {"version": "1.3.2", "threads": args.threads,
                       "wall_s": round(ref_wall, 2), **ref_stats},
-        "platanus_b_tpu": {"wall_s": round(tpu_wall, 2), **tpu_stats},
+        "platanus_b_tpu": {"wall_s": round(tpu_wall, 2),
+                           "wall_s_reps": [round(w, 2) for w in tpu_walls],
+                           **tpu_stats},
         "set_parity": ref_stats["sorted_set_sha256"] ==
                       tpu_stats["sorted_set_sha256"],
     }

@@ -212,123 +212,45 @@ def delete_erroneous(dbg: DBG, length_cut: int, coverage_cut: float) -> int:
     return n_kill
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
-def _cut_branch_fixed_point(si0, so0, alive0, counts, k: int,
-                            branch_threshold, iters: int):
-    """The WHOLE cutBranchIterative fixed point in one executable: each
-    device round re-masks the original adjacency by the surviving alive
-    set, relabels (pointer doubling), and applies the tip decision —
-    zero host round trips between rounds (each dispatch+sync costs
-    ~0.5-1 s over the device link and clipping takes 2-3 rounds per k
-    step)."""
-    from .dbg import _label_core, _mask_topo_core
-
-    def cond(state):
-        return state[2] > 0
-
-    def body(state):
-        alive, total, _ = state
-        si, so, _out, od, isj = _mask_topo_core(si0, so0, alive)
-        uid, _upos, _uo, num_u, ulen, ucov, _uh, utail = _label_core(
-            si, so, od, isj, alive, counts, iters)
-        # uhead for the kernel: heads_idx output (=_uh) is per-unitig
-        node_kill, n_kill = _cut_branch_kernel_core(
-            si, so, od, isj, counts, uid, ulen, ucov, _uh, utail,
-            num_u, k, branch_threshold)
-        return alive & ~node_kill, total + n_kill, n_kill
-
-    alive, total, _ = jax.lax.while_loop(
-        cond, body, (alive0, jnp.int32(0), jnp.int32(1)))
-    return alive, total
-
-
 def cut_branch_iterative(dbg: DBG, branch_threshold: float = 0.5) -> int:
     """cutBranchIterative (graph.h:1830-1845): fixed point of tip clipping.
-    Relabeling between rounds merges chains like concatinateNodes."""
-    import math as _math
 
-    from .dbg import _mask_topo_kernel
-
+    ONE device labeling feeds a host-side element-level replay
+    (_ChainSim): each round's relabel-after-merge happens on the ~100x
+    smaller unitig/junction graph instead of re-running the full
+    pointer-doubling kernel (which cost 4-5 s/round at 1 Mbp scale)."""
     LOG.info("removing branches...")
-    si0, so0, _o, _od, _isj = dbg.topo
-    iters = max(1, _math.ceil(_math.log2(max(dbg.capacity, 2))) + 1)
-    alive, total = _cut_branch_fixed_point(
-        si0, so0, dbg.alive, dbg.counts, dbg.k,
-        jnp.float32(branch_threshold), iters)
-    total = int(total)
+    sim = _ChainSim(dbg)
+    total = 0
+    while True:
+        n = sim.cut_branch_round(branch_threshold)
+        if n == 0:
+            break
+        total += n
     LOG.counter("NUM_CUT", total)
     if total:
-        dbg.alive = alive
-        dbg._topo = _mask_topo_kernel(si0, so0, alive)
-        dbg._unitigs = None
-        dbg._unitigs_dev = None
+        sim.apply()
     return total
-
-
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
-def _delete_erroneous_fixed_point(si0, so0, alive0, counts, k: int,
-                                  branch_threshold, length_cut,
-                                  coverage_cut, iters: int):
-    """deleteErroneousStraightNodeIterative as ONE executable: each round
-    = cutBranch decision + apply + relabel + deleteErroneous decision +
-    apply (the reference alternates the two per round)."""
-    from .dbg import _label_core, _mask_topo_core
-
-    def one_label(alive):
-        si, so, _o, od, isj = _mask_topo_core(si0, so0, alive)
-        return (si, so, od, isj), _label_core(si, so, od, isj, alive,
-                                              counts, iters)
-
-    def cond(state):
-        return state[2] > 0
-
-    def body(state):
-        alive, total, _ = state
-        (si, so, od, isj), lab = one_label(alive)
-        uid, _up, _uo, num_u, ulen, ucov, uh, ut = lab
-        kill1, n1 = _cut_branch_kernel_core(
-            si, so, od, isj, counts, uid, ulen, ucov, uh, ut,
-            num_u, k, branch_threshold)
-        alive1 = alive & ~kill1
-        _topo2, lab2 = one_label(alive1)
-        uid2, _up2, _uo2, num_u2, ulen2, ucov2, _uh2, _ut2 = lab2
-        ucap = ulen2.shape[0]
-        in_range = jnp.arange(ucap) < num_u2
-        kill_u = in_range & (ulen2 < length_cut) \
-            & (ucov2.astype(jnp.float32) < coverage_cut)
-        n2 = jnp.sum(kill_u.astype(jnp.int32))
-        kill2 = (uid2 >= 0) & kill_u[jnp.clip(uid2, 0, ucap - 1)]
-        return alive1 & ~kill2, total + n1 + n2, n1 + n2
-
-    alive, total, _ = jax.lax.while_loop(
-        cond, body, (alive0, jnp.int32(0), jnp.int32(1)))
-    return alive, total
 
 
 def delete_erroneous_iterative(dbg: DBG, length_cut: int, coverage_cut: float,
                                branch_threshold: float = 0.5) -> int:
     """deleteErroneousStraightNodeIterative (graph.h:2086-2106): alternate
-    cutBranch + deleteErroneousStraightNode until quiescent — fused on
-    device like cut_branch_iterative."""
-    import math as _math
-
-    from .dbg import _mask_topo_kernel
-
+    cutBranch + deleteErroneousStraightNode until quiescent — replayed on
+    the element-level chain graph like cut_branch_iterative."""
     LOG.info("removing erroneous nodes...")
-    si0, so0, _o, _od, _isj = dbg.topo
-    iters = max(1, _math.ceil(_math.log2(max(dbg.capacity, 2))) + 1)
-    alive, total = _delete_erroneous_fixed_point(
-        si0, so0, dbg.alive, dbg.counts, dbg.k,
-        jnp.float32(branch_threshold),
-        jnp.int32(min(length_cut, 2**31 - 1)),
-        jnp.float32(min(coverage_cut, 3.4e38)), iters)
-    total = int(total)
+    sim = _ChainSim(dbg)
+    total = 0
+    while True:
+        n1 = sim.cut_branch_round(branch_threshold)
+        n2 = sim.delete_erroneous_round(min(length_cut, 2**62),
+                                        min(coverage_cut, 3.4e38))
+        if n1 + n2 == 0:
+            break
+        total += n1 + n2
     LOG.counter("TOTAL_NUM_REMOVED_NODES", total)
     if total:
-        dbg.alive = alive
-        dbg._topo = _mask_topo_kernel(si0, so0, alive)
-        dbg._unitigs = None
-        dbg._unitigs_dev = None
+        sim.apply()
     return total
 
 
@@ -564,3 +486,380 @@ def average_coverage_excluding_bubble(dbg: DBG) -> float:
     s += float(np.asarray(jc, dtype=np.float64).sum())
     num += float(len(jc))
     return s / max(num, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# element-level chain simulation: ONE device labeling feeds a host-side
+# replay of the cutBranch / deleteErroneous fixed points
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _chain_pull_kernel(succ_idx, succ_orient, outdeg, is_junction, counts,
+                       uid, uhead, utail):
+    """Device half of the chain-sim pull: per-unitig coverage SUMS (the
+    labeling only exposes the rounded mean) and end attachments
+    (end_attach of _cut_branch_kernel_core, for ALL unitigs)."""
+    cap = uid.shape[0]
+    ucap = uhead.shape[0]
+    seg = jnp.where(uid >= 0, uid, ucap)
+    csum = jnp.zeros((ucap + 1,), jnp.float32).at[seg].add(
+        jnp.where(uid >= 0, counts.astype(jnp.float32), 0.0),
+        mode="drop")[:ucap]
+
+    def end_attach(ends, side):
+        i = ends >> 1
+        o = ends & 1
+        look = (1 - o) if side == 0 else o
+        deg = outdeg[i, look]
+        row = succ_idx[i, look]
+        b = jnp.argmax(row >= 0, axis=-1)
+        tgt = jnp.take_along_axis(row, b[:, None], axis=-1)[:, 0]
+        tor = jnp.take_along_axis(succ_orient[i, look], b[:, None],
+                                  axis=-1)[:, 0]
+        attached = (deg == 1) & (tgt >= 0)
+        return jnp.where(attached, tgt, -1), jnp.where(attached, tor, 0)
+
+    hj, hq = end_attach(uhead, 0)
+    tj, tq = end_attach(utail, 1)
+    return csum, hj, hq, tj, tq
+
+
+def _numpy_rank(prv):
+    """Pointer-doubling list ranking in numpy over the (small) element
+    graph: returns (rank, head, leftover_live) like _doubling_rank."""
+    m = len(prv)
+    rank = np.where(prv >= 0, 1, 0).astype(np.int64)
+    anchor = np.where(prv >= 0, prv, np.arange(m))
+    ptr = prv.copy()
+    for _ in range(max(int(np.ceil(np.log2(max(m, 2)))) + 1, 1)):
+        if not (ptr >= 0).any():
+            break
+        has = ptr >= 0
+        p = np.clip(ptr, 0, m - 1)
+        rank = np.where(has, rank + rank[p], rank)
+        anchor = np.where(has, anchor[p], anchor)
+        ptr = np.where(has, ptr[p], ptr)
+    return rank, anchor, ptr
+
+
+class _ChainSim:
+    """Host replay of the node-level cleaning fixed points at ELEMENT
+    granularity (elements = initial unitigs + junction k-mers). Each
+    device round of the former fused kernels re-ran the full
+    pointer-doubling labeling (~4-5 s/round at 1 Mbp scale); the element
+    graph is ~100x smaller, so the same bulk-synchronous rounds replay
+    in milliseconds with identical decisions (same thresholds, same
+    snapshot semantics, same coverage arithmetic in float32)."""
+
+    def __init__(self, dbg: DBG):
+        self.dbg = dbg
+        self.k = dbg.k
+        uid, _up, _uo, num_u_d, ulen, _ucov, uhead, utail = \
+            dbg.label_unitigs_device()
+        si, so, _out, od, isj = dbg.topo
+        csum, hj, hq, tj, tq = _chain_pull_kernel(
+            si, so, od, isj, dbg.counts, uid, uhead, utail)
+        nu = int(num_u_d)
+        self.nu = nu
+        self.ulen = np.asarray(ulen[:nu]).astype(np.int64)
+        self.ucsum = np.asarray(csum[:nu]).astype(np.float64)
+        isj_h = np.asarray(isj)
+        self.j_nodes = np.nonzero(isj_h)[0].astype(np.int64)
+        nj = len(self.j_nodes)
+        self.nj = nj
+        jn = jnp.asarray(self.j_nodes)
+        self.jcount = np.asarray(dbg.counts[jn]).astype(np.float64)
+        jsi = np.asarray(si[jn])      # (nj, 2, 4) node targets
+        jso = np.asarray(so[jn])
+        # element ids: unitigs [0, nu), junctions [nu, nu+nj)
+        node2j = np.full(dbg.capacity, -1, np.int64)
+        node2j[self.j_nodes] = np.arange(nj)
+        uid_h = np.asarray(uid)
+        uhead_h = np.asarray(uhead[:nu]).astype(np.int64)
+        utail_h = np.asarray(utail[:nu]).astype(np.int64)
+
+        def node_entry_to_elem(t, p):
+            """(target node, entry orientation) -> (element, entry slot d);
+            for unitigs d=0 means entering at the head (forward
+            traversal), d=1 at the tail (reverse)."""
+            t = np.asarray(t, np.int64)
+            p = np.asarray(p, np.int64)
+            je = node2j[np.clip(t, 0, dbg.capacity - 1)]
+            uu = uid_h[np.clip(t, 0, dbg.capacity - 1)].astype(np.int64)
+            oriented = 2 * t + p
+            is_head = (uu >= 0) & (oriented == uhead_h[np.clip(uu, 0, max(nu - 1, 0))])
+            elem = np.where(t < 0, -1,
+                            np.where(je >= 0, nu + je, uu))
+            d = np.where(je >= 0, p, np.where(is_head, 0, 1))
+            return elem, d
+
+        # junction adjacency (element level)
+        self.jadj_e = np.full((nj, 2, 4), -1, np.int64)
+        self.jadj_d = np.zeros((nj, 2, 4), np.int64)
+        e, d = node_entry_to_elem(jsi.reshape(-1), jso.reshape(-1))
+        self.jadj_e = np.where(jsi.reshape(-1) >= 0, e, -1).reshape(nj, 2, 4)
+        self.jadj_d = d.reshape(nj, 2, 4)
+        # unitig end attachments -> element refs (targets are junctions)
+        hj_h = np.asarray(hj[:nu]).astype(np.int64)
+        tj_h = np.asarray(tj[:nu]).astype(np.int64)
+        self.uadj_e = np.full((nu, 2), -1, np.int64)   # [:,0] head, [:,1] tail
+        self.uadj_d = np.zeros((nu, 2), np.int64)
+        hj_e = node2j[np.clip(hj_h, 0, dbg.capacity - 1)]
+        tj_e = node2j[np.clip(tj_h, 0, dbg.capacity - 1)]
+        self.uadj_e[:, 0] = np.where((hj_h >= 0) & (hj_e >= 0), nu + hj_e, -1)
+        self.uadj_d[:, 0] = np.asarray(hq[:nu]).astype(np.int64)
+        self.uadj_e[:, 1] = np.where((tj_h >= 0) & (tj_e >= 0), nu + tj_e, -1)
+        self.uadj_d[:, 1] = np.asarray(tq[:nu]).astype(np.int64)
+
+        self.ne = nu + nj
+        self.alive = np.ones(self.ne, bool)
+        self.total_killed = 0
+
+    # -- per-round structure ------------------------------------------------
+    def _branching(self):
+        """Live branching (junction-status) mask per element."""
+        br = np.zeros(self.ne, bool)
+        if self.nj:
+            tgt_alive = (self.jadj_e >= 0) & \
+                self.alive[np.clip(self.jadj_e, 0, self.ne - 1)]
+            deg = tgt_alive.sum(axis=2)          # (nj, 2)
+            br[self.nu:] = self.alive[self.nu:] & ((deg[:, 0] >= 2)
+                                                   | (deg[:, 1] >= 2))
+        return br
+
+    def _chains(self, br):
+        """Label chains over oriented element slots. Returns dict with
+        per-slot chain ids and per-chain stats (len in k-mers, covsum,
+        end attachments)."""
+        ne, nu = self.ne, self.nu
+        m = 2 * ne
+        nxt = np.full(m, -1, np.int64)
+        # unitig slots: (u, 0) leaves via tail, (u, 1) via head
+        if nu:
+            for d, side in ((0, 1), (1, 0)):
+                te = self.uadj_e[:, side]
+                td = self.uadj_d[:, side]
+                ok = (te >= 0) & self.alive[np.clip(te, 0, ne - 1)] \
+                    & ~br[np.clip(te, 0, ne - 1)] & self.alive[:nu]
+                nxt[2 * np.arange(nu) + d] = np.where(ok, 2 * te + td, -1)
+        # junction (non-branching) slots: unique live target per orientation
+        if self.nj:
+            tgt_alive = (self.jadj_e >= 0) & \
+                self.alive[np.clip(self.jadj_e, 0, ne - 1)]
+            deg = tgt_alive.sum(axis=2)
+            b = np.argmax(tgt_alive, axis=2)                    # (nj, 2)
+            te = np.take_along_axis(self.jadj_e, b[:, :, None],
+                                    axis=2)[:, :, 0]
+            td = np.take_along_axis(self.jadj_d, b[:, :, None],
+                                    axis=2)[:, :, 0]
+            src_ok = self.alive[nu:] & ~br[nu:]
+            ok = src_ok[:, None] & (deg == 1) & (te >= 0) \
+                & self.alive[np.clip(te, 0, ne - 1)] \
+                & ~br[np.clip(te, 0, ne - 1)]
+            idx = 2 * (nu + np.arange(self.nj))
+            nxt[idx] = np.where(ok[:, 0], 2 * te[:, 0] + td[:, 0], -1)
+            nxt[idx + 1] = np.where(ok[:, 1], 2 * te[:, 1] + td[:, 1], -1)
+        # element alive & non-branching slots only participate
+        slot_alive = np.repeat(self.alive & ~br, 2)
+        nxt = np.where(slot_alive, nxt, -1)
+        # links into dead/branching targets already filtered; prv = twin trick
+        arange = np.arange(m)
+        twin = arange ^ 1
+        nt = nxt[twin]
+        prv = np.where(nt >= 0, nt ^ 1, -1)
+        prv = np.where(slot_alive, prv, -1)
+
+        rank, head, leftover = _numpy_rank(prv)
+        if (leftover >= 0).any():
+            # cycles: deterministic cut (smallest oriented-pair id), then
+            # re-rank — mirrors dbg._label_core's cut_and_rerank
+            in_cycle = leftover >= 0
+            ea = np.where(nxt >= 0, np.minimum(arange, nxt ^ 1), m)
+            eb = np.where(nxt >= 0, np.maximum(arange, nxt ^ 1), m)
+            cyc_ptr = np.where(in_cycle, prv, -1)
+            ma, mb = ea.copy(), eb.copy()
+            ptr = cyc_ptr.copy()
+            for _ in range(max(int(np.ceil(np.log2(max(m, 2)))) + 1, 1)):
+                if not (ptr >= 0).any():
+                    break
+                has = ptr >= 0
+                p = np.clip(ptr, 0, m - 1)
+                better = has & ((ma[p] < ma) | ((ma[p] == ma)
+                                                & (mb[p] < mb)))
+                ma = np.where(better, ma[p], ma)
+                mb = np.where(better, mb[p], mb)
+                ptr = np.where(has, ptr[p], ptr)
+            cut = in_cycle & (ea == ma) & (eb == mb)
+            nxt2 = np.where(cut, -1, nxt)
+            nt2 = nxt2[twin]
+            prv = np.where(nt2 >= 0, nt2 ^ 1, -1)
+            prv = np.where(slot_alive, prv, -1)
+            rank, head, _left = _numpy_rank(prv)
+            nxt = nxt2
+
+        tail = head[twin] ^ 1
+        is_head = slot_alive & (prv == -1)
+        rep = is_head & (arange <= (tail ^ 1))
+        chain_of = np.full(m, -1, np.int64)
+        heads = np.nonzero(rep)[0]
+        cid_of_head = np.full(m, -1, np.int64)
+        cid_of_head[heads] = np.arange(len(heads))
+        cid = cid_of_head[head]
+        use_twin = (cid < 0)
+        cid = np.where(use_twin, cid_of_head[tail ^ 1], cid)
+        chain_of = np.where(slot_alive, cid, -1)
+
+        nch = len(heads)
+        elem_len = np.concatenate([self.ulen,
+                                   np.ones(self.nj, np.int64)])
+        elem_cov = np.concatenate([self.ucsum, self.jcount])
+        # per-chain stats: each ELEMENT contributes once (use slot d=0)
+        e_cid = chain_of[2 * np.arange(ne)]
+        # element's chain id: one of its two slots (both map to same chain)
+        e_cid = np.where(e_cid >= 0, e_cid, chain_of[2 * np.arange(ne) + 1])
+        ch_len = np.zeros(nch + 1, np.int64)
+        ch_cov = np.zeros(nch + 1, np.float64)
+        sel = e_cid >= 0
+        np.add.at(ch_len, np.where(sel, e_cid, nch), np.where(sel, elem_len, 0))
+        np.add.at(ch_cov, np.where(sel, e_cid, nch), np.where(sel, elem_cov, 0.0))
+        ch_len = ch_len[:nch]
+        ch_cov = ch_cov[:nch]
+
+        # chain end attachments: head slot's twin's outgoing raw target,
+        # and tail slot's outgoing raw target — attachment exists iff the
+        # raw target is a live BRANCHING junction reached with degree 1
+        def raw_out(slots):
+            """outgoing (elem, d) from oriented slots, ignoring the
+            non-branching-target restriction (end_attach semantics:
+            deg==1 & target exists)."""
+            e = slots >> 1
+            d = slots & 1
+            te = np.full(len(slots), -1, np.int64)
+            td = np.zeros(len(slots), np.int64)
+            uu = e < nu
+            if uu.any():
+                side = np.where(d[uu] == 0, 1, 0)
+                te[uu] = self.uadj_e[e[uu], side]
+                td[uu] = self.uadj_d[e[uu], side]
+            jj = ~uu
+            if jj.any():
+                jl = e[jj] - nu
+                tgt_alive = (self.jadj_e[jl, d[jj]] >= 0) & \
+                    self.alive[np.clip(self.jadj_e[jl, d[jj]], 0, ne - 1)]
+                deg = tgt_alive.sum(axis=1)
+                b = np.argmax(tgt_alive, axis=1)
+                t_e = self.jadj_e[jl, d[jj], b]
+                t_d = self.jadj_d[jl, d[jj], b]
+                one = deg == 1
+                te[jj] = np.where(one, t_e, -1)
+                td[jj] = np.where(one, t_d, 0)
+            ok = (te >= 0) & self.alive[np.clip(te, 0, ne - 1)]
+            return np.where(ok, te, -1), td
+
+        ch_head_slot = heads
+        ch_tail_slot = tail[heads]
+        # head-side attachment: look backwards = outgoing of twin(head)
+        h_e, h_d = raw_out(ch_head_slot ^ 1)
+        t_e, t_d = raw_out(ch_tail_slot)
+        br_ok_h = (h_e >= 0) & br[np.clip(h_e, 0, ne - 1)]
+        br_ok_t = (t_e >= 0) & br[np.clip(t_e, 0, ne - 1)]
+        return {
+            "nch": nch, "chain_of_elem": e_cid,
+            "len": ch_len, "cov": ch_cov,
+            "head_j": np.where(br_ok_h, h_e, -1), "head_q": h_d,
+            "tail_j": np.where(br_ok_t, t_e, -1), "tail_q": t_d,
+        }
+
+    def _sibling_maxcov(self, ch, br, jn_elem, jq, exclude_chain):
+        """Max branch coverage at junction element jn_elem on the side
+        facing the tip (orientation 1-jq), excluding branches into the
+        tip's own chain (graph.h:866-877 / _cut_branch_kernel_core)."""
+        maxcov = np.zeros(len(jn_elem), np.float64)
+        if self.nj == 0:
+            return maxcov
+        jl = np.clip(jn_elem - self.nu, 0, self.nj - 1)
+        q = 1 - jq
+        ucov_chain = np.floor(ch["cov"] / np.maximum(ch["len"], 1) + 0.5)
+        for b in range(4):
+            te = self.jadj_e[jl, q, b]
+            has = (te >= 0) & self.alive[np.clip(te, 0, self.ne - 1)]
+            tcl = np.clip(te, 0, self.ne - 1)
+            t_br = br[tcl]
+            # branching junction target: its own k-mer count; chain
+            # target: the chain's rounded mean coverage
+            cov_j = np.where(te >= self.nu,
+                             self.jcount[np.clip(te - self.nu, 0,
+                                                 max(self.nj - 1, 0))], 0.0)
+            t_chain = ch["chain_of_elem"][tcl]
+            cov_u = np.where(t_chain >= 0,
+                             ucov_chain[np.clip(t_chain, 0,
+                                                max(ch["nch"] - 1, 0))], 0.0)
+            cov = np.where(t_br, cov_j, cov_u)
+            excl = (~t_br) & (t_chain == exclude_chain)
+            cov = np.where(has & ~excl, cov, 0.0)
+            maxcov = np.maximum(maxcov, cov)
+        return maxcov
+
+    def _kill_chains(self, ch, kill_mask):
+        """Mark all member elements of killed chains dead."""
+        e_cid = ch["chain_of_elem"]
+        sel = (e_cid >= 0) & kill_mask[np.clip(e_cid, 0,
+                                               max(ch["nch"] - 1, 0))]
+        n = int(sel.sum())
+        if n:
+            self.alive[sel] = False
+        return int(kill_mask.sum())
+
+    def cut_branch_round(self, branch_threshold: float) -> int:
+        """One cutBranch decision+apply on the current element graph."""
+        br = self._branching()
+        ch = self._chains(br)
+        if ch["nch"] == 0:
+            return 0
+        short = ch["len"] <= self.k
+        one_side = (ch["head_j"] >= 0) ^ (ch["tail_j"] >= 0)
+        tip = short & one_side
+        jn = np.where(ch["head_j"] >= 0, ch["head_j"], ch["tail_j"])
+        jq = np.where(ch["head_j"] >= 0, ch["head_q"], ch["tail_q"])
+        maxcov = self._sibling_maxcov(ch, br, np.clip(jn, self.nu, None),
+                                      jq, np.arange(ch["nch"]))
+        ucov = np.floor(ch["cov"] / np.maximum(ch["len"], 1) + 0.5)
+        kill = tip & (ucov.astype(np.float32)
+                      <= (maxcov.astype(np.float32)
+                          * np.float32(branch_threshold)))
+        self._kill_chains(ch, kill)
+        return int(kill.sum())
+
+    def delete_erroneous_round(self, length_cut, coverage_cut) -> int:
+        br = self._branching()
+        ch = self._chains(br)
+        if ch["nch"] == 0:
+            return 0
+        ucov = np.floor(ch["cov"] / np.maximum(ch["len"], 1) + 0.5)
+        kill = (ch["len"] < length_cut) \
+            & (ucov.astype(np.float32) < np.float32(coverage_cut))
+        self._kill_chains(ch, kill)
+        return int(kill.sum())
+
+    def apply(self) -> int:
+        """Push accumulated element deaths down to the node level (one
+        device op) and refresh the DBG topology snapshot."""
+        from .dbg import _mask_topo_kernel
+        dbg = self.dbg
+        kill_u = ~self.alive[:self.nu]
+        dead_j = self.j_nodes[~self.alive[self.nu:]]
+        if not kill_u.any() and len(dead_j) == 0:
+            return 0
+        uid = dbg.label_unitigs_device()[0]
+        ucap = dbg.label_unitigs_device()[4].shape[0]
+        kill_u_dev = jnp.asarray(np.concatenate(
+            [kill_u, np.zeros(ucap - self.nu, bool)]))
+        node_kill = (uid >= 0) & kill_u_dev[jnp.clip(uid, 0, ucap - 1)]
+        if len(dead_j):
+            node_kill = node_kill.at[jnp.asarray(dead_j)].set(True)
+        dbg.alive = dbg.alive & ~node_kill
+        si0, so0, _o, _od, _isj = dbg.topo
+        dbg._topo = _mask_topo_kernel(si0, so0, dbg.alive)
+        dbg._unitigs = None
+        dbg._unitigs_dev = None
+        return 1
