@@ -61,6 +61,11 @@ def extract_library_args(argv: list[str]) -> tuple[list[str], list[LibrarySpec]]
 def _load_seqs(path: str) -> list[np.ndarray]:
     if not os.path.exists(path):
         raise IOError_(f"cannot open file: {path}")
+    from ..io.fasta import bulk_fasta_codes
+    bulk = bulk_fasta_codes(path)
+    if bulk is not None:
+        mat, lengths = bulk
+        return [mat[i, : lengths[i]] for i in range(len(lengths))]
     return [seq_to_codes(s) for _n, s in iter_reads(path)]
 
 

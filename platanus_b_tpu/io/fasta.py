@@ -353,3 +353,45 @@ def write_contigs(path: str, seqs: list[np.ndarray] | list[str],
             yield format_contig_header(prefix, i, len(s), cov, coverage_ratio,
                                        read_length, max_k), s
     return write_fasta(path, gen(), append=append)
+
+
+def bulk_fasta_codes(path: str):
+    """Whole-file vectorized FASTA decode: (codes (R, Lmax) uint8 matrix
+    padded with 4, lengths (R,) int32), or None when the file is
+    compressed / FASTQ (callers fall back to the record iterator).
+
+    One numpy pass over the raw bytes classifies lines, assigns every
+    sequence character its record id, and scatters into the padded
+    matrix — the per-read Python loop it replaces dominated library
+    ingest at 100k+-read scale (seqlib.cpp's loaders are the
+    counterpart, they stream into per-thread files)."""
+    if is_compressed(path) or sniff_format(path) != "fasta":
+        return None
+    raw = np.frombuffer(open(path, "rb").read(), dtype=np.uint8)
+    if len(raw) == 0:
+        return np.zeros((0, 0), np.uint8), np.zeros(0, np.int32)
+    nl = raw == 10
+    # line id per character (exclusive cumsum of newline flags)
+    line_of = np.zeros(len(raw), np.int64)
+    np.cumsum(nl[:-1], out=line_of[1:])
+    n_lines = int(line_of[-1]) + 1
+    line_start_mask = np.ones(len(raw), bool)
+    line_start_mask[1:] = nl[:-1]
+    starts = np.flatnonzero(line_start_mask)
+    is_hdr = np.zeros(n_lines, bool)
+    is_hdr[line_of[starts]] = raw[starts] == ord(">")
+    rec_of_line = np.cumsum(is_hdr) - 1
+    keep = (~nl) & (~is_hdr[line_of]) & (raw != 13)
+    if not is_hdr.any():
+        raise FormatError(f"{path}: no FASTA records")
+    flat = _CHAR2BIN[raw[keep]]
+    rec_of_char = rec_of_line[line_of[keep]]
+    n_rec = int(is_hdr.sum())
+    lengths = np.bincount(rec_of_char, minlength=n_rec).astype(np.int32)
+    lmax = int(lengths.max()) if n_rec else 0
+    mat = np.full((n_rec, lmax), 4, np.uint8)
+    rec_start = np.zeros(n_rec, np.int64)
+    rec_start[1:] = np.cumsum(lengths.astype(np.int64))[:-1]
+    col = np.arange(len(flat), dtype=np.int64) - rec_start[rec_of_char]
+    mat[rec_of_char, col] = flat
+    return mat, lengths

@@ -128,35 +128,100 @@ def collect_gap_reads(gaps: list[Gap], scaffolds, ids, offs, pair_codes,
         by_scaf[s_id] = (gs[order], ge[order], gis[order])
 
     cand = np.nonzero(mapped & (w_end > w_start))[0]
-    for k in cand:
-        tbl = by_scaf.get(int(sid[k]))
-        if tbl is None:
+    # vector interval join per scaffold (the former per-record Python
+    # searchsorted loop was ~10% of gap_close wall at 1000-gap scale)
+    for s_id, (gs, ge, gis) in by_scaf.items():
+        sel = cand[sid[cand] == s_id]
+        if not len(sel):
             continue
-        gs, ge, gis = tbl
-        lo = int(np.searchsorted(ge, w_start[k], side="right"))
-        hi = int(np.searchsorted(gs, w_end[k], side="left"))
-        if hi <= lo:
+        lo = np.searchsorted(ge, w_start[sel], side="right")
+        hi = np.searchsorted(gs, w_end[sel], side="left")
+        nhit = hi - lo
+        has = nhit > 0
+        sel2, lo2, n2 = sel[has], lo[has], nhit[has]
+        if not len(sel2):
             continue
-        L = int(pair_lengths[k])
-        mate = pair_codes[k, :L]
-        if fwd[k]:
-            mate = mate[::-1].copy()
-            m = mate < 4
-            mate[m] = 3 - mate[m]
-        for gi in gis[lo:hi]:
-            gaps[gi].reads.append(mate)
+        # oriented mates for the hitting records, one vector pass
+        rows = pair_codes[sel2]
+        lens = pair_lengths[sel2]
+        f2 = fwd[sel2]
+        mates = []
+        for r in range(len(sel2)):
+            L = int(lens[r])
+            mate = rows[r, :L]
+            if f2[r]:
+                mate = mate[::-1].copy()
+                m = mate < 4
+                mate[m] = 3 - mate[m]
+            mates.append(mate)
+        # expand records with multiple gap hits
+        rep = np.repeat(np.arange(len(sel2)), n2)
+        offs_in = np.arange(len(rep)) - np.repeat(
+            np.concatenate([[0], np.cumsum(n2)[:-1]]), n2)
+        g_hit = gis[lo2[rep] + offs_in]
+        for r, gi in zip(rep, g_hit):
+            gaps[gi].reads.append(mates[r])
 
 
 # ---------------------------------------------------------------------------
 # single-strand mini-DBG (makeBruijnGraphForGapClose, graph.h:2117-2344)
 # ---------------------------------------------------------------------------
 
+def _rolling_words(cat: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(words (Lw, W) u64, valid (Lw,)) for every window start of the
+    separator-joined code array `cat`: word w covers bases
+    [32w, min(32(w+1), k)), right-aligned within its span.
+
+    Doubling pack: p[2^e][i] = window of 2^e bases at i, built with
+    log2(k) shift-or passes over 1-D arrays — no (N, k) window matrix
+    (the former stride-tricks + per-column shift-sum packing was the
+    gap-close counting hot spot). Validity = no N/separator inside the
+    window, via the next-invalid-position running minimum."""
+    L = len(cat)
+    Lw = L - k + 1
+    W = (k + 31) // 32
+    if Lw <= 0:
+        return np.zeros((0, W), np.uint64), np.zeros(0, bool)
+    c = np.where(cat <= 3, cat, 0).astype(np.uint64)
+    pows = {1: c}
+    e = 1
+    while e < min(k, 32):
+        half = pows[e]
+        n2 = max(len(half) - e, 0)
+        pows[2 * e] = (half[:n2] << np.uint64(2 * e)) | half[e: e + n2]
+        e *= 2
+
+    def pack_width(width: int, base_off: int) -> np.ndarray:
+        """u64 word of `width` bases starting at cat[i + base_off]."""
+        out = None
+        pos = base_off
+        bit = 32
+        while bit:
+            if width & bit:
+                part = pows[bit][pos: pos + Lw] if pos + Lw <= len(pows[bit]) \
+                    else np.pad(pows[bit][pos:], (0, pos + Lw - len(pows[bit])))
+                out = part if out is None \
+                    else (out << np.uint64(2 * bit)) | part
+                pos += bit
+            bit >>= 1
+        return out if out is not None else np.zeros(Lw, np.uint64)
+
+    words = np.empty((Lw, W), np.uint64)
+    for w in range(W):
+        width = min(32, k - 32 * w)
+        words[:, w] = pack_width(width, 32 * w)
+    # next invalid position at or after i
+    bad = cat > 3
+    nb = np.where(bad, np.arange(L), L)
+    nb = np.minimum.accumulate(nb[::-1])[::-1]
+    valid = nb[:Lw] >= np.arange(Lw) + k
+    return words, valid
+
+
 def _count_words_batch(seqs, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Unique forward-strand k-mers over a read set, one vectorized pass:
-    reads are concatenated with N separators, windows extracted via
-    stride tricks, packed into ceil(k/32) u64 word rows (word w covers
-    bases [32w, min(32(w+1), k)), right-aligned within its span), and
-    uniqued as structured rows (countKmerForGapClose counterpart,
+    reads are concatenated with N separators, packed with the doubling
+    rolling pack, and uniqued (countKmerForGapClose counterpart,
     counter.h:1016-1056). Returns (words (N, W) u64 sorted, counts)."""
     W = (k + 31) // 32
     if not seqs:
@@ -166,16 +231,10 @@ def _count_words_batch(seqs, k: int) -> tuple[np.ndarray, np.ndarray]:
          for s in seqs])
     if len(cat) < k:
         return np.zeros((0, W), np.uint64), np.zeros(0, np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(cat, k)
-    win = win[(win <= 3).all(axis=1)]
-    if not len(win):
+    words, valid = _rolling_words(cat, k)
+    words = words[valid]
+    if not len(words):
         return np.zeros((0, W), np.uint64), np.zeros(0, np.int64)
-    words = np.zeros((len(win), W), dtype=np.uint64)
-    for w in range(W):
-        chunk = win[:, w * 32: (w + 1) * 32].astype(np.uint64)
-        shifts = np.uint64(2) * np.arange(chunk.shape[1] - 1, -1, -1,
-                                          dtype=np.uint64)
-        words[:, w] = (chunk << shifts).sum(axis=1)
     uw, starts, _ = _dedup_rows(words)
     counts = np.diff(np.append(starts, len(words)))
     return np.ascontiguousarray(uw), counts.astype(np.int64)
@@ -359,19 +418,16 @@ class MiniDBG:
         self._topo = (succ, pred, outdeg, indeg)
         return self._topo
 
-    def unitigs(self, with_chains: bool = False):
-        """Maximal chains: (base-code seq, kmer count, mean coverage)
-        (+ index chains when with_chains). Cached per graph state —
-        cut_branch_iterative's converged pass computes the same chains
-        the caller requests next."""
-        if self._topo is not None and getattr(self, "_unitig_cache", None):
-            res = self._unitig_cache
-            if with_chains:
-                return res
-            return [(s_, n_, c_) for s_, n_, c_, _ch in res]
+    def _chain_arrays(self):
+        """Chain decomposition as flat arrays: (order, starts, chain_lens,
+        covsum, uid) with nodes of chain c at order[starts[c]:
+        starts[c]+chain_lens[c]] and uid = chain id per node. Cached per
+        graph state; no sequence decode (cut_branch_iterative consumes
+        this every round — the former per-chain Python loop with set()
+        membership was the closer loop's second-largest cost)."""
+        if getattr(self, "_chain_cache", None) is not None:
+            return self._chain_cache
         n = len(self.keys)
-        if n == 0:
-            return []
         succ, pred, outdeg, indeg = self._topology()
         uniq_succ = succ.max(axis=1)          # valid when outdeg == 1
         # chain link v -> nxt[v] iff outdeg(v)==1 and indeg(nxt)==1
@@ -381,9 +437,8 @@ class MiniDBG:
         prv = np.full(n, -1, np.int64)
         has = nxt >= 0
         prv[nxt[has]] = np.flatnonzero(has)
-        # numpy pointer doubling to heads/ranks (the per-node Python walk
-        # was ~30% of the gap-closer loop); leftover live pointers after
-        # log2(n) rounds are cycles, cut at their min-index node
+        # numpy pointer doubling to heads/ranks; leftover live pointers
+        # after log2(n) rounds are cycles, cut at their min-index node
         idx = np.arange(n, dtype=np.int64)
         ptr = prv.copy()
         rank = (ptr >= 0).astype(np.int64)
@@ -434,6 +489,25 @@ class MiniDBG:
         new_chain[1:] = heads_sorted[1:] != heads_sorted[:-1]
         starts = np.flatnonzero(new_chain)
         chain_lens = np.diff(np.append(starts, n))
+        uid = np.empty(n, np.int64)
+        uid[order] = np.repeat(np.arange(len(starts)), chain_lens)
+        covsum = np.add.reduceat(self.cov[order].astype(np.float64), starts)
+        self._chain_cache = (order, starts, chain_lens, covsum, uid)
+        return self._chain_cache
+
+    def unitigs(self, with_chains: bool = False):
+        """Maximal chains: (base-code seq, kmer count, mean coverage)
+        (+ index chains when with_chains). Cached per graph state."""
+        if self._topo is not None and getattr(self, "_unitig_cache", None):
+            res = self._unitig_cache
+            if with_chains:
+                return res
+            return [(s_, n_, c_) for s_, n_, c_ in
+                    ((r[0], r[1], r[2]) for r in res)]
+        n = len(self.keys)
+        if n == 0:
+            return []
+        order, starts, chain_lens, covsum, _uid = self._chain_arrays()
         chains = np.split(order, starts[1:])
         widths = _word_widths(self.k)
         # vectorized decode of every chain's first k-mer: (C, k) bases
@@ -445,7 +519,6 @@ class MiniDBG:
             cols.append(((firsts[:, w:w + 1] >> sh[None, :])
                          & np.uint64(3)).astype(np.uint8))
         first_bases = np.concatenate(cols, axis=1)
-        covsum = np.add.reduceat(self.cov[order].astype(np.float64), starts)
         last_base_all = (self.keys[order, self.W - 1]
                          & np.uint64(3)).astype(np.uint8)
         res = []
@@ -464,45 +537,50 @@ class MiniDBG:
 
     def cut_branch_iterative(self, branch_threshold=DBG_BRANCH_THRESHOLD):
         """Tip clipping to fixed point (cutBranch semantics: short chains
-        attached on exactly one side, coverage <= threshold * max sibling)."""
+        attached on exactly one side, coverage <= threshold * max
+        sibling) — fully vectorized over the chain arrays."""
         while True:
             n = len(self.keys)
             if n == 0:
                 break
-            succ, pred, outdeg, indeg = self._topology()
-            kill = np.zeros(n, bool)
-            n_tips = 0
-            for item in self.unitigs(with_chains=True):
-                seq, nk, cov, chain = item
-                if nk > self.k:
-                    continue
-                cset = set(chain)
-                head_p = [int(p) for p in pred[chain[0]] if p >= 0
-                          and int(p) not in cset]
-                tail_s = [int(s) for s in succ[chain[-1]] if s >= 0
-                          and int(s) not in cset]
-                if bool(head_p) == bool(tail_s):
-                    continue
-                junc = head_p[0] if head_p else tail_s[0]
-                sibs = succ[junc] if head_p else pred[junc]
-                sib_cov = 0
-                for sb in sibs:
-                    if sb < 0 or int(sb) in cset:
-                        continue
-                    sib_cov = max(sib_cov, int(self.cov[int(sb)]))
-                if cov <= sib_cov * branch_threshold:
-                    kill[chain] = True
-                    n_tips += 1
-            if not n_tips:
+            succ, pred, _od, _id = self._topology()
+            order, starts, clens, covsum, uid = self._chain_arrays()
+            C = len(starts)
+            if C == 0:
                 break
-            keep = ~kill
+            heads = order[starts]
+            tails = order[starts + clens - 1]
+            covm = covsum / clens
+            cidx = np.arange(C)
+            hp = pred[heads]                                   # (C, 4)
+            hp_ok = (hp >= 0) & (uid[np.clip(hp, 0, n - 1)]
+                                 != cidx[:, None])
+            ts = succ[tails]
+            ts_ok = (ts >= 0) & (uid[np.clip(ts, 0, n - 1)]
+                                 != cidx[:, None])
+            has_h = hp_ok.any(axis=1)
+            has_t = ts_ok.any(axis=1)
+            tip = (clens <= self.k) & (has_h ^ has_t)
+            first_h = hp[cidx, np.argmax(hp_ok, axis=1)]
+            first_t = ts[cidx, np.argmax(ts_ok, axis=1)]
+            junc = np.clip(np.where(has_h, first_h, first_t), 0, n - 1)
+            sibs = np.where(has_h[:, None], succ[junc], pred[junc])
+            sib_ok = (sibs >= 0) & (uid[np.clip(sibs, 0, n - 1)]
+                                    != cidx[:, None])
+            sib_cov = np.where(sib_ok,
+                               self.cov[np.clip(sibs, 0, n - 1)],
+                               0).max(axis=1)
+            kill_chain = tip & (covm <= sib_cov * branch_threshold)
+            if not kill_chain.any():
+                break
+            keep = ~kill_chain[uid]
             self.keys = np.ascontiguousarray(self.keys[keep])
             self.cov = self.cov[keep]
-            # BOTH caches die together: a stale unitig cache holds chain
-            # indices into the pre-kill arrays (out-of-bounds after
-            # compaction — bit on multi-round clipping at 1000-gap scale)
+            # ALL caches die together: stale chain/unitig indices point
+            # into the pre-kill arrays
             self._topo = None
             self._unitig_cache = None
+            self._chain_cache = None
 
 
 # ---------------------------------------------------------------------------
@@ -757,6 +835,45 @@ def _best_overlap(a: np.ndarray, b: np.ndarray, min_overlap: int,
     return int(ov_of[hits[0]]) if len(hits) else 0
 
 
+def _best_overlap_many(layout: np.ndarray, reads: list, min_overlap: int,
+                       max_edit: int) -> np.ndarray:
+    """_best_overlap for MANY reads against one layout in one pass (only
+    the hamming regime, max_edit <= 1 — the default; callers with
+    max_edit >= 2 fall back to per-read calls). One descending sweep
+    over overlap lengths tests every still-pending read's prefix against
+    the layout suffix as a matrix compare — the former per-(read, round)
+    calls were the OLC closer's hot loop (75k calls / 8 s at 1000-gap
+    scale, gapCloseOLC.cpp:368-553's inner overlap scans)."""
+    n = len(reads)
+    res = np.zeros(n, np.int64)
+    if n == 0 or max_edit >= 2:
+        for i, r in enumerate(reads):
+            res[i] = _best_overlap(layout, r, min_overlap, max_edit)
+        return res
+    lens = np.array([len(r) for r in reads], np.int64)
+    top = np.minimum(len(layout), lens)
+    maxT = int(top.max()) if n else 0
+    if maxT < min_overlap:
+        return res
+    B = np.full((n, maxT), 0xFF, np.uint8)
+    for i, r in enumerate(reads):
+        m = min(len(r), maxT)
+        B[i, :m] = r[:m]
+    lay = np.asarray(layout)
+    pending = np.ones(n, bool)
+    for ov in range(maxT, min_overlap - 1, -1):
+        rows = np.flatnonzero(pending & (top >= ov))
+        if not len(rows):
+            continue
+        suf = lay[len(lay) - ov:]
+        mism = (B[rows, :ov] != suf[None, :]).sum(axis=1)
+        hit = mism <= max_edit
+        if hit.any():
+            res[rows[hit]] = ov
+            pending[rows[hit]] = False
+    return res
+
+
 def olc_close_gap(gap: Gap, min_overlap=32, max_edit=1,
                   min_consensus=0.66) -> bool:
     """Greedy layout extension from the head flank with per-column consensus
@@ -781,15 +898,20 @@ def olc_close_gap(gap: Gap, min_overlap=32, max_edit=1,
             gap.state = CLOSED
             gap.remained_gap = 0
             return True
-        # collect candidate extensions
+        # collect candidate extensions (all pending reads' overlaps in
+        # one batched sweep)
         votes: dict[int, np.ndarray] = {}
         placed = False
         ext_len = 0
         cols: list[list[int]] = []
+        pend_ri = [ri for ri in range(len(reads)) if not used[ri]]
+        ovs = _best_overlap_many(layout, [reads[ri] for ri in pend_ri],
+                                 min_overlap, max_edit)
+        ov_of = dict(zip(pend_ri, ovs))
         for ri, r in enumerate(reads):
             if used[ri]:
                 continue
-            ov = _best_overlap(layout, r, min_overlap, max_edit)
+            ov = int(ov_of[ri])
             if ov == 0 or ov >= len(r):
                 continue
             pos = len(layout) - ov
@@ -816,11 +938,12 @@ def olc_close_gap(gap: Gap, min_overlap=32, max_edit=1,
             return False
         # mark reads fully consumed by the new layout end as used
         layout = np.concatenate([layout, np.array(new_bases, np.uint8)])
-        for ri, r in enumerate(reads):
-            if not used[ri]:
-                ov = _best_overlap(layout, r, min_overlap, max_edit)
-                if ov >= len(r):
-                    used[ri] = True
+        pend_ri = [ri for ri in range(len(reads)) if not used[ri]]
+        ovs = _best_overlap_many(layout, [reads[ri] for ri in pend_ri],
+                                 min_overlap, max_edit)
+        for ri, ov in zip(pend_ri, ovs):
+            if ov >= len(reads[ri]):
+                used[ri] = True
     return False
 
 
