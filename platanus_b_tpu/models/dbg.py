@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.kmer import SENTINEL, kmer_to_codes
-from ..ops.multiword import mw_le, mw_shl2, revcomp
+from ..ops.multiword import revcomp
 from ..ops.padding import next_pow2, pad_rows
 from ..ops.search import _lookup_jit
 
@@ -62,27 +62,77 @@ def _mask_topo_kernel(succ_idx, succ_orient, alive_new):
     return _mask_topo_core(succ_idx, succ_orient, alive_new)
 
 
+def _ln_shl2(lanes, k: int):
+    """mw_shl2 on separate u32 lanes (word 0 most significant)."""
+    from ..ops.multiword import top_word_mask
+    W = len(lanes)
+    out = []
+    for w in range(W):
+        v = lanes[w] << 2
+        if w + 1 < W:
+            v = v | (lanes[w + 1] >> 30)
+        out.append(v)
+    out[0] = out[0] & top_word_mask(k)
+    return out
+
+
+def _ln_revcomp(lanes, k: int):
+    """revcomp on separate u32 lanes."""
+    from ..ops.multiword import _rev2_u32, top_word_mask
+    W = len(lanes)
+    rev = [_rev2_u32(~x) for x in lanes][::-1]
+    s = (32 * W - 2 * k) % 32
+    if s:
+        out = []
+        for w in range(W):
+            v = rev[w] >> np.uint32(s)
+            if w > 0:
+                v = v | (rev[w - 1] << np.uint32(32 - s))
+            out.append(v)
+        rev = out
+    rev[0] = rev[0] & top_word_mask(k)
+    return rev
+
+
+def _ln_le(a, b):
+    lt = jnp.zeros(a[0].shape, bool)
+    eq = jnp.ones(a[0].shape, bool)
+    for x, y in zip(a, b):
+        lt = lt | (eq & (x < y))
+        eq = eq & (x == y)
+    return lt | eq
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _adjacency_kernel(keys: jnp.ndarray, alive: jnp.ndarray,
                       n: jnp.ndarray, k: int):
     cap = keys.shape[0]
     W = keys.shape[-1]
-    dead_key = jnp.full_like(keys, SENTINEL)
+    # LANE discipline: every elementwise intermediate is a separate 1-D
+    # u32 array. A (9N, W) row matrix flowing through elementwise ops
+    # takes the tiled T(8,128) layout — the minor dim W pads to 128, a
+    # 64x HBM blowup that OOMed the 4.6 Mbp graph build (cap 8.4M:
+    # 4.3 GB per temp).
+    klanes = [keys[:, w] for w in range(W)]
     # all 8 extension queries (2 orientations x 4 bases)
-    queries = []
+    q_lanes = [[] for _ in range(W)]   # per word: list of 9 segments
     orients = []
+    tlanes = [jnp.where(alive, ln, jnp.uint32(SENTINEL)) for ln in klanes]
+    for w in range(W):
+        q_lanes[w].append(tlanes[w])
     for o in (0, 1):
-        ok = keys if o == 0 else revcomp(keys, k)
-        shifted = mw_shl2(ok, k)
+        ok = klanes if o == 0 else _ln_revcomp(klanes, k)
+        shifted = _ln_shl2(ok, k)
         for b in range(4):
-            q = shifted.at[..., -1].set(shifted[..., -1] | np.uint32(b))
-            rc = revcomp(q, k)
-            is_fwd = mw_le(q, rc)
-            canon = jnp.where(is_fwd[..., None], q, rc)
-            canon = jnp.where(alive[:, None], canon, dead_key)
-            queries.append(canon)
+            q = list(shifted)
+            q[-1] = q[-1] | np.uint32(b)
+            rc = _ln_revcomp(q, k)
+            is_fwd = _ln_le(q, rc)
+            for w in range(W):
+                canon = jnp.where(is_fwd, q[w], rc[w])
+                q_lanes[w].append(jnp.where(alive, canon,
+                                            jnp.uint32(SENTINEL)))
             orients.append(jnp.where(is_fwd, 0, 1).astype(jnp.uint8))
-    q_all = jnp.concatenate(queries, axis=0)          # (8N, W)
     # SORT-JOIN instead of binary search: XLA's TPU sort runs near
     # bandwidth while a 25-round binary search is 25 giant random
     # gathers (~10x slower measured). Table rows and query rows sort
@@ -90,18 +140,18 @@ def _adjacency_kernel(keys: jnp.ndarray, alive: jnp.ndarray,
     # row sorts first (smaller tag) and a cummax forward-fill hands its
     # index to every query in the run.
     m = 9 * cap
-    tkeys = jnp.where(alive[:, None], keys, dead_key)
-    all_keys = jnp.concatenate([tkeys, q_all], axis=0)
+    all_lanes = [jnp.concatenate(q_lanes[w], axis=0) for w in range(W)]
     tag = jnp.arange(m, dtype=jnp.uint32)             # table rows first
-    ops = tuple(all_keys[:, w] for w in range(W)) + (tag,)
+    ops = tuple(all_lanes) + (tag,)
     out_s = jax.lax.sort(ops, num_keys=W + 1)
-    skeys = jnp.stack(out_s[:W], axis=-1)
+    slanes = out_s[:W]
     stag = out_s[W]
     is_table = stag < cap
     pos = jnp.arange(m, dtype=jnp.int32)
-    is_new = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (skeys[1:] != skeys[:-1]).any(axis=-1)])
+    neq = slanes[0][1:] != slanes[0][:-1]
+    for w in range(1, W):
+        neq = neq | (slanes[w][1:] != slanes[w][:-1])
+    is_new = jnp.concatenate([jnp.ones((1,), bool), neq])
     # a run's table row (unique keys) sorts FIRST in its run, so it sits
     # exactly at the run start; and since the table itself is key-sorted,
     # table tags are MONOTONE in sorted position — three int32 cummaxes
@@ -329,20 +379,27 @@ def _sequence_kernel(keys, uid, upos, uorient, k: int, lmax: int,
     few long unitigs, so (cap, lmax) would explode). Last bases scatter
     per node; the k-1 head bases come from a per-unitig GATHER of the
     head node (a (N, k-1, 2) scatter-index tensor tiles to T(8,128) on
-    TPU with ~64x padding — 16 GB at 1M nodes)."""
+    TPU with ~64x padding — 16 GB at 1M nodes). The oriented-key
+    computation runs lane-wise (a (cap, W) elementwise temp pads W->128)."""
     cap = keys.shape[0]
-    oriented = jnp.where(uorient[:, None] == 0, keys, revcomp(keys, k))
-    last_base = (oriented[:, -1] & 3).astype(jnp.uint8)
+    W = keys.shape[-1]
+    klanes = [keys[:, w] for w in range(W)]
+    rlanes = _ln_revcomp(klanes, k)
+    fwd = uorient == 0
+    olanes = [jnp.where(fwd, klanes[w], rlanes[w]) for w in range(W)]
+    last_base = (olanes[-1] & 3).astype(jnp.uint8)
     member = (uid >= 0) & (uid < rows)
     seg_u = jnp.where(member, uid, rows)
     col = jnp.clip(upos + k - 1, 0, lmax - 1)
     seqs = jnp.full((rows + 1, lmax), 4, dtype=jnp.uint8)
     seqs = seqs.at[seg_u, col].set(last_base, mode="drop")
     # head node index per unitig, then gather its first k-1 bases
+    # (per-lane gathers; only the SMALL (rows+1, W) result is stacked)
     head_slot = jnp.where(member & (upos == 0), uid, rows)
     hn = jnp.zeros((rows + 1,), jnp.int32).at[head_slot].set(
         jnp.arange(cap, dtype=jnp.int32), mode="drop")
-    head_codes = kmer_to_codes(oriented[hn], k)      # (rows+1, k)
+    head_words = jnp.stack([ol[hn] for ol in olanes], axis=-1)
+    head_codes = kmer_to_codes(head_words, k)        # (rows+1, k)
     seqs = seqs.at[:, : k - 1].set(head_codes[:, : k - 1])
     return seqs[:rows]
 
@@ -358,8 +415,13 @@ def _sequence_flat_kernel(keys, uid, upos, uorient, offsets, num_u,
     exactly total-bases bytes."""
     cap = keys.shape[0]
     ucap = offsets.shape[0]
-    oriented = jnp.where(uorient[:, None] == 0, keys, revcomp(keys, k))
-    last_base = (oriented[:, -1] & 3).astype(jnp.uint8)
+    W = keys.shape[-1]
+    # lane-wise orientation (a (cap, W) elementwise temp pads W->128)
+    klanes = [keys[:, w] for w in range(W)]
+    rlanes = _ln_revcomp(klanes, k)
+    fwd = uorient == 0
+    olanes = [jnp.where(fwd, klanes[w], rlanes[w]) for w in range(W)]
+    last_base = (olanes[-1] & 3).astype(jnp.uint8)
     member = uid >= 0
     base = offsets[jnp.clip(uid, 0, ucap - 1)]
     flat_pos = jnp.where(member, base + upos + (k - 1), flatcap)
@@ -369,7 +431,8 @@ def _sequence_flat_kernel(keys, uid, upos, uorient, offsets, num_u,
     head_slot = jnp.where(member & (upos == 0), uid, ucap)
     hn = jnp.zeros((ucap + 1,), jnp.int32).at[head_slot].set(
         jnp.arange(cap, dtype=jnp.int32), mode="drop")
-    head_codes = kmer_to_codes(oriented[hn[:ucap]], k)   # (ucap, k)
+    head_words = jnp.stack([ol[hn[:ucap]] for ol in olanes], axis=-1)
+    head_codes = kmer_to_codes(head_words, k)            # (ucap, k)
     in_u = jnp.arange(ucap) < num_u
     hpos = jnp.where(in_u[:, None],
                      offsets[:, None] + jnp.arange(k - 1)[None, :],
