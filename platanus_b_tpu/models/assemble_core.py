@@ -389,11 +389,7 @@ def _extended_unitig_sequences_ref(dbg: DBG, diff: int) -> tuple[list[np.ndarray
     def useq(i):
         return flat[offs[i]: offs[i] + base_lens[i]]
 
-    succ_idx, succ_orient, out, outdeg, is_junction = dbg.topo
-    si = np.asarray(succ_idx)
-    so = np.asarray(succ_orient)
-    od = np.asarray(outdeg)
-    isj = np.asarray(is_junction)
+    si, so, _out, od, isj = dbg.topo_host()
 
     from ..ops.multiword import pack_kmer_np, unpack_kmer_np
 
@@ -508,7 +504,7 @@ def _ext_probe_kernel(si, so, od, isj, keys, uid, ulen, uhead, utail,
     gathers. Only per-UNITIG arrays leave the device — the former host
     version shipped the (cap, 2, 4) succ tables (~170 MB per k step at
     1 Mbp scale) over the 40 MB/s device link every step."""
-    cap = si.shape[0]
+    cap = si.shape[2]        # topo is (2, 4, cap) node-minor
     ucap = ulen.shape[0]
     W = keys.shape[-1]
     g = 2 * (k - 1)
@@ -521,19 +517,29 @@ def _ext_probe_kernel(si, so, od, isj, keys, uid, ulen, uhead, utail,
             return jnp.where(orient == 0, fb, 3 - lb).astype(jnp.uint8)
         return jnp.where(orient == 0, lb, 3 - fb).astype(jnp.uint8)
 
+    def first_valid(look, node):
+        """First live (target, orient) of slab rows [look, :, node] —
+        per-b 1-D gathers on the (2, 4, cap) node-minor topo."""
+        tgt = jnp.full_like(node, -1)
+        tor = jnp.zeros_like(node)
+        found = jnp.zeros(node.shape, bool)
+        for b in range(4):
+            vb = jnp.where(look == 0, si[0, b][node], si[1, b][node])
+            ob = jnp.where(look == 0, so[0, b][node], so[1, b][node])
+            take = ~found & (vb >= 0)
+            tgt = jnp.where(take, vb, tgt)
+            tor = jnp.where(take, ob, tor)
+            found = found | (vb >= 0)
+        return tgt, tor
+
     def probe(node, look):
-        deg = od[node, look]
-        row = si[node, look]
-        b = jnp.argmax(row >= 0, axis=-1)
-        jn = jnp.take_along_axis(row, b[:, None], axis=-1)[:, 0]
-        jt = jnp.take_along_axis(so[node, look], b[:, None], axis=-1)[:, 0]
+        deg = jnp.where(look == 0, od[0][node], od[1][node])
+        jn, jt = first_valid(look, node)
         jn_c = jnp.clip(jn, 0, cap - 1)
         has_j = (deg == 1) & (jn >= 0) & isj[jn_c]
-        cond_c = has_j & (od[jn_c, jt] == 1)
-        row2 = si[jn_c, jt]
-        fb2 = jnp.argmax(row2 >= 0, axis=-1)
-        fn = jnp.take_along_axis(row2, fb2[:, None], axis=-1)[:, 0]
-        fo = jnp.take_along_axis(so[jn_c, jt], fb2[:, None], axis=-1)[:, 0]
+        deg2 = jnp.where(jt == 0, od[0][jn_c], od[1][jn_c])
+        cond_c = has_j & (deg2 == 1)
+        fn, fo = first_valid(jt, jn_c)
         fn_c = jnp.clip(fn, 0, cap - 1)
         has_far = cond_c & (fn >= 0) & ~isj[fn_c] & (uid[fn_c] >= 0)
         return has_j, jn_c, jt, has_far, fn_c, fo

@@ -47,10 +47,7 @@ def _unitig_ends(dbg: DBG):
     would have absorbed a non-junction neighbor).
     """
     u = dbg.label_unitigs()
-    succ_idx, succ_orient, out, outdeg, is_junction = dbg.topo
-    si = np.asarray(succ_idx)
-    so = np.asarray(succ_orient)
-    od = np.asarray(outdeg)
+    si, so, _out, od, _isj = dbg.topo_host()
 
     res = {}
     for side, ends in ((0, u.uhead), (1, u.utail)):
@@ -77,9 +74,7 @@ def _sibling_max_coverage(dbg: DBG, j_nodes: np.ndarray, j_orient: np.ndarray,
     or the branch junction k-mer's count (graph.h:866-877).
     """
     u = dbg.label_unitigs()
-    succ_idx, succ_orient, out, outdeg, is_junction = dbg.topo
-    si = np.asarray(succ_idx)
-    isj = np.asarray(is_junction)
+    si, _so, _out, _od, isj = dbg.topo_host()
     counts = np.asarray(dbg.counts)
     uid = u.uid
 
@@ -118,16 +113,28 @@ def _cut_branch_kernel_core(succ_idx, succ_orient, outdeg, is_junction,
     cap = uid.shape[0]
     in_range = jnp.arange(ucap) < num_u
 
+    def pick2(slab, look, i):
+        """slab is (2, 4, cap) node-minor; select [look_j, b, i_j] per
+        element as 1-D gathers (no (U, 4) row materialization in the
+        padded node-major layout)."""
+        return [jnp.where(look == 0, slab[0, b][i], slab[1, b][i])
+                for b in range(4)]
+
     def end_attach(ends, side):
         i = ends >> 1
         o = ends & 1
         look = (1 - o) if side == 0 else o
-        deg = outdeg[i, look]
-        row = succ_idx[i, look]
-        b = jnp.argmax(row >= 0, axis=-1)
-        tgt = jnp.take_along_axis(row, b[:, None], axis=-1)[:, 0]
-        tor = jnp.take_along_axis(succ_orient[i, look], b[:, None],
-                                  axis=-1)[:, 0]
+        deg = jnp.where(look == 0, outdeg[0][i], outdeg[1][i])
+        rows = pick2(succ_idx, look, i)
+        ors = pick2(succ_orient, look, i)
+        tgt = jnp.full_like(ends, -1)
+        tor = jnp.zeros_like(ends)
+        found = jnp.zeros(ends.shape, bool)
+        for b in range(4):
+            take = ~found & (rows[b] >= 0)
+            tgt = jnp.where(take, rows[b], tgt)
+            tor = jnp.where(take, ors[b], tor)
+            found = found | (rows[b] >= 0)
         attached = (deg == 1) & (tgt >= 0)
         return jnp.where(attached, tgt, -1), jnp.where(attached, tor, 0)
 
@@ -142,8 +149,9 @@ def _cut_branch_kernel_core(succ_idx, succ_orient, outdeg, is_junction,
     q = 1 - jq
     uidx = jnp.arange(ucap)
     maxcov = jnp.zeros(ucap, dtype=jnp.int64)
+    sib_rows = pick2(succ_idx, q, jn)
     for b in range(4):
-        tgt = succ_idx[jn, q, b]
+        tgt = sib_rows[b]
         has = tgt >= 0
         t = jnp.clip(tgt, 0, cap - 1)
         cov_j = counts[t].astype(jnp.int64)
@@ -433,8 +441,7 @@ def _bubble_unitig_mask(dbg: DBG, u) -> np.ndarray:
     one sink junction (searchBubbleStructure grouping,
     graph.h:2386-2406): group unitigs by their (predecessor junction,
     successor junction) node pair; any group of >= 2 is a bubble set."""
-    succ_idx, succ_orient, out, outdeg, is_junction = [
-        np.asarray(x) for x in dbg.topo]
+    succ_idx, succ_orient, out, outdeg, is_junction = dbg.topo_host()
     num_u = u.num_unitigs
     mask = np.zeros(num_u, dtype=bool)
     if num_u == 0:
@@ -510,12 +517,18 @@ def _chain_pull_kernel(succ_idx, succ_orient, outdeg, is_junction, counts,
         i = ends >> 1
         o = ends & 1
         look = (1 - o) if side == 0 else o
-        deg = outdeg[i, look]
-        row = succ_idx[i, look]
-        b = jnp.argmax(row >= 0, axis=-1)
-        tgt = jnp.take_along_axis(row, b[:, None], axis=-1)[:, 0]
-        tor = jnp.take_along_axis(succ_orient[i, look], b[:, None],
-                                  axis=-1)[:, 0]
+        deg = jnp.where(look == 0, outdeg[0][i], outdeg[1][i])
+        tgt = jnp.full_like(ends, -1)
+        tor = jnp.zeros_like(ends)
+        found = jnp.zeros(ends.shape, bool)
+        for b in range(4):
+            vb = jnp.where(look == 0, succ_idx[0, b][i], succ_idx[1, b][i])
+            ob = jnp.where(look == 0, succ_orient[0, b][i],
+                           succ_orient[1, b][i])
+            take = ~found & (vb >= 0)
+            tgt = jnp.where(take, vb, tgt)
+            tor = jnp.where(take, ob, tor)
+            found = found | (vb >= 0)
         attached = (deg == 1) & (tgt >= 0)
         return jnp.where(attached, tgt, -1), jnp.where(attached, tor, 0)
 
@@ -569,8 +582,8 @@ class _ChainSim:
         self.nj = nj
         jn = jnp.asarray(self.j_nodes)
         self.jcount = np.asarray(dbg.counts[jn]).astype(np.float64)
-        jsi = np.asarray(si[jn])      # (nj, 2, 4) node targets
-        jso = np.asarray(so[jn])
+        jsi = np.asarray(si[:, :, jn]).transpose(2, 0, 1)  # (nj, 2, 4)
+        jso = np.asarray(so[:, :, jn]).transpose(2, 0, 1)
         # element ids: unitigs [0, nu), junctions [nu, nu+nj)
         node2j = np.full(dbg.capacity, -1, np.int64)
         node2j[self.j_nodes] = np.arange(nj)

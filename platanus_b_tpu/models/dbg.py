@@ -168,14 +168,19 @@ def _adjacency_kernel(keys: jnp.ndarray, alive: jnp.ndarray,
     idx_all = jnp.where(
         (idx_all >= 0) & (idx_all < n)
         & alive[jnp.clip(idx_all, 0, cap - 1)], idx_all, INVALID)
-    # (8, N) -> (N, 2, 4)
-    succ_idx = idx_all.reshape(2, 4, cap).transpose(2, 0, 1)
-    succ_orient = jnp.stack(orients, axis=0).reshape(2, 4, cap).transpose(2, 0, 1)
+    # TOPO LAYOUT: (2, 4, cap) with the node axis MINOR-MOST. The former
+    # (cap, 2, 4) form tiled to T(2,128) — minor dim 4 padded to 128, a
+    # 32x HBM blowup (8 GB per tensor at the 4.6 Mbp cap of 8.4M).
+    succ_idx = idx_all.reshape(2, 4, cap)
+    succ_orient = jnp.stack(orients, axis=0).reshape(2, 4, cap)
     exists = succ_idx >= 0
-    out = jnp.sum(jnp.where(exists, jnp.uint8(1) << jnp.arange(4, dtype=jnp.uint8),
-                            0), axis=-1).astype(jnp.uint8)
+    out = jnp.sum(jnp.where(exists,
+                            (jnp.uint8(1)
+                             << jnp.arange(4, dtype=jnp.uint8))[None, :,
+                                                                None],
+                            0), axis=1).astype(jnp.uint8)     # (2, cap)
     outdeg = popcount4(out)
-    is_junction = alive & ((outdeg[:, 0] >= 2) | (outdeg[:, 1] >= 2))
+    is_junction = alive & ((outdeg[0] >= 2) | (outdeg[1] >= 2))
     return succ_idx, succ_orient, out, outdeg, is_junction
 
 
@@ -209,21 +214,36 @@ def _doubling_rank(ptr, rank, anchor, iters):
     return ptr, rank, anchor
 
 
+def _interleave2(a, b):
+    """[a0, b0, a1, b1, ...] from two (n,) arrays via 1-D gathers (a
+    stack+reshape materializes an (n, 2) minor-2 temp — the layout trap)."""
+    n = a.shape[0]
+    idx = jnp.arange(2 * n, dtype=jnp.int32)
+    half = idx >> 1
+    return jnp.where((idx & 1) == 0, a[half], b[half])
+
+
 def _label_core(succ_idx, succ_orient, outdeg, is_junction, alive, counts,
                 iters: int):
     cap = alive.shape[0]
     m = 2 * cap
 
     # chain-next over oriented nodes: link (i,o) -> (s,p) iff i alive
-    # non-junction with outdeg(i,o)==1 and s alive non-junction
-    uniq = outdeg == 1
-    b = jnp.argmax(succ_idx >= 0, axis=-1)
-    s = jnp.take_along_axis(succ_idx, b[..., None], axis=-1)[..., 0]
-    p = jnp.take_along_axis(succ_orient, b[..., None], axis=-1)[..., 0]
-    s_ok = (s >= 0) & ~is_junction[jnp.clip(s, 0, cap - 1)]
-    src_ok = alive[:, None] & ~is_junction[:, None] & uniq
-    nxt = jnp.where(src_ok & s_ok, 2 * s + p.astype(jnp.int32), INVALID)
-    nxt = nxt.reshape(-1)  # (2N,)
+    # non-junction with outdeg(i,o)==1 and s alive non-junction.
+    # Topo is (2, 4, cap) node-minor; per-orientation work stays 1-D.
+    nxt_o = []
+    for o in (0, 1):
+        uniq = outdeg[o] == 1
+        row = succ_idx[o]                      # (4, cap)
+        bsel = jnp.argmax(row >= 0, axis=0)    # (cap,)
+        nidx = jnp.arange(cap, dtype=jnp.int32)
+        s = row[bsel, nidx]
+        p = succ_orient[o][bsel, nidx]
+        s_ok = (s >= 0) & ~is_junction[jnp.clip(s, 0, cap - 1)]
+        src_ok = alive & ~is_junction & uniq
+        nxt_o.append(jnp.where(src_ok & s_ok,
+                               2 * s + p.astype(jnp.int32), INVALID))
+    nxt = _interleave2(nxt_o[0], nxt_o[1])  # (2N,) oriented id 2i+o
 
     arange = jnp.arange(m, dtype=jnp.int32)
     twin = arange ^ 1
@@ -300,13 +320,15 @@ def _label_core(succ_idx, succ_orient, outdeg, is_junction, alive, counts,
     pos_j = jnp.where(use_twin, chain_len - 1 - rank, rank)
     orient_j = jnp.where(use_twin, (arange ^ 1) & 1, arange & 1)
 
-    uid_n = uid_j.reshape(cap, 2)
-    pos_n = pos_j.reshape(cap, 2)
-    ori_n = orient_j.reshape(cap, 2)
-    pick = jnp.argmax((uid_n >= 0).astype(jnp.int32), axis=1)
-    uid = jnp.take_along_axis(uid_n, pick[:, None], 1)[:, 0]
-    upos = jnp.take_along_axis(pos_n, pick[:, None], 1)[:, 0]
-    uorient = jnp.take_along_axis(ori_n, pick[:, None], 1)[:, 0]
+    # per-node pick of the oriented slot carrying a uid: strided 1-D
+    # slices (a reshape to (cap, 2) materializes minor-2 padded temps)
+    uid_e, uid_d = uid_j[0::2], uid_j[1::2]
+    pos_e, pos_d = pos_j[0::2], pos_j[1::2]
+    ori_e, ori_d = orient_j[0::2], orient_j[1::2]
+    use_e = uid_e >= 0
+    uid = jnp.where(use_e, uid_e, uid_d)
+    upos = jnp.where(use_e, pos_e, pos_d)
+    uorient = jnp.where(use_e, ori_e, ori_d)
     uid = jnp.where(node_alive_nonj, uid, INVALID)
 
     # per-unitig stats (capacity-sized, trimmed on host)
@@ -328,18 +350,20 @@ _label_kernel = functools.partial(jax.jit,
 
 
 def _mask_topo_core(succ_idx, succ_orient, alive_new):
-    """Traceable body of _mask_topo_kernel (shared with the fused
-    cut-branch fixed point)."""
+    """Traceable body of _mask_topo_kernel. Topo arrays are (2, 4, cap)
+    node-minor (see _adjacency_kernel)."""
     cap = alive_new.shape[0]
     tgt_ok = (succ_idx >= 0) & alive_new[jnp.clip(succ_idx, 0, cap - 1)]
-    ok = tgt_ok & alive_new[:, None, None]
+    ok = tgt_ok & alive_new[None, None, :]
     si = jnp.where(ok, succ_idx, INVALID)
     so = jnp.where(ok, succ_orient, 0)
     out = jnp.sum(jnp.where(si >= 0,
-                            jnp.uint8(1) << jnp.arange(4, dtype=jnp.uint8),
-                            0), axis=-1).astype(jnp.uint8)
+                            (jnp.uint8(1)
+                             << jnp.arange(4, dtype=jnp.uint8))[None, :,
+                                                                None],
+                            0), axis=1).astype(jnp.uint8)
     outdeg = popcount4(out)
-    is_junction = alive_new & ((outdeg[:, 0] >= 2) | (outdeg[:, 1] >= 2))
+    is_junction = alive_new & ((outdeg[0] >= 2) | (outdeg[1] >= 2))
     return si, so, out, outdeg, is_junction
 
 
@@ -485,10 +509,22 @@ class DBG:
 
     @property
     def topo(self):
+        """(succ_idx (2,4,cap), succ_orient (2,4,cap), out (2,cap) u8,
+        outdeg (2,cap) i32, is_junction (cap,)) — node axis minor-most
+        (see _adjacency_kernel's layout note)."""
         if self._topo is None:
             self._topo = _adjacency_kernel(self.keys, self.alive,
                                            jnp.int32(self.n), self.k)
         return self._topo
+
+    def topo_host(self):
+        """Host copies in the node-major convention host code indexes:
+        (si (cap,2,4), so (cap,2,4), out (cap,2), outdeg (cap,2),
+        is_junction (cap,))."""
+        si, so, out, od, isj = self.topo
+        return (np.asarray(si).transpose(2, 0, 1),
+                np.asarray(so).transpose(2, 0, 1),
+                np.asarray(out).T, np.asarray(od).T, np.asarray(isj))
 
     def label_unitigs_device(self):
         """Raw device labeling tuple (uid, upos, uorient, num_u_dev, ulen,

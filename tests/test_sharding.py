@@ -82,7 +82,9 @@ def test_sharded_adjacency_matches_single_device(rng):
     _si, _so, out1, _od, junc1 = _adjacency_kernel(
         jnp.asarray(pad_k), jnp.asarray(alive1),
         jnp.asarray(np.int32(len(allk))), k)
-    out1, junc1 = np.asarray(out1), np.asarray(junc1)
+    # single-device topo is (2, cap) node-minor; transpose to the
+    # node-major view the sharded kernel emits
+    out1, junc1 = np.asarray(out1).T, np.asarray(junc1)
 
     ref = {tuple(allk[i]): (tuple(out1[i]), bool(junc1[i]))
            for i in range(len(allk))}
