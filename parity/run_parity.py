@@ -201,19 +201,31 @@ def run_iterate_mode(args) -> None:
         args.coverage, args.error, args.seed)
 
     def side(tag: str, assemble_cmd: list[str], iterate_cmd: list[str],
-             cwd: str, env=None) -> dict:
-        w1 = run_timed(assemble_cmd,
-                       os.path.join(args.workdir, f"{tag}_asm.log"), cwd,
-                       env=env)
-        w2 = run_timed(iterate_cmd,
-                       os.path.join(args.workdir, f"{tag}_it.log"), cwd,
-                       env=env)
+             cwd: str, env=None, reps: int = 1) -> dict:
+        """reps > 1 re-runs the pipeline and records the LAST rep as the
+        warm wall (the first run pays the XLA compile for every
+        per-round shape; the persistent cache absorbs it — VERDICT r4
+        required the warm number on the record)."""
+        walls = []
+        for _ in range(reps):
+            warm_device()
+            w1 = run_timed(assemble_cmd,
+                           os.path.join(args.workdir, f"{tag}_asm.log"),
+                           cwd, env=env)
+            w2 = run_timed(iterate_cmd,
+                           os.path.join(args.workdir, f"{tag}_it.log"),
+                           cwd, env=env)
+            walls.append((w1, w2))
         out = os.path.join(args.workdir, f"{tag}_iterativeAssembly.fa")
         seqs = read_fasta(out)
-        return {"wall_s_assemble": round(w1, 2),
-                "wall_s_iterate": round(w2, 2),
-                **seq_set_stats(seqs),
-                **genome_truth_approx(seqs, genome)}
+        res = {"wall_s_assemble": round(walls[0][0], 2),
+               "wall_s_iterate": round(walls[0][1], 2),
+               **seq_set_stats(seqs),
+               **genome_truth_approx(seqs, genome)}
+        if reps > 1:
+            res["wall_s_assemble_warm"] = round(walls[-1][0], 2)
+            res["wall_s_iterate_warm"] = round(walls[-1][1], 2)
+        return res
 
     # both sides run IN the workdir with plain prefixes: `iterate`
     # forbids '/' in -o on both sides (iterate.cpp:119 / iterate_cmd.py);
@@ -229,14 +241,13 @@ def run_iterate_mode(args) -> None:
                 "-IP1", p1, p2, "-i", str(args.rounds), "-t",
                 str(args.threads), "-o", "refit"],
                args.workdir)
-    warm_device()
     tpu = side("tpuit",
                [sys.executable, "-m", "platanus_b_tpu", "assemble", "-f",
                 p1, p2, "-o", "tpuit"],
                [sys.executable, "-m", "platanus_b_tpu", "iterate", "-c",
                 "tpuit_contig.fa", "-IP1", p1, p2, "-i",
                 str(args.rounds), "-o", "tpuit"],
-               args.workdir, env=env)
+               args.workdir, env=env, reps=args.tpu_reps)
     out = {
         "mode": "iterate",
         "dataset": {"genome_bp": args.genome_size,
