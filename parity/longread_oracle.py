@@ -112,6 +112,35 @@ def ours_records(contigs, cnames, reads, rnames, preset):
     } for a in alns]
 
 
+def recovery_linkage(mm2_recs, our_recs):
+    """Fraction of minimap2 records whose target AND query intervals are
+    >= 90% covered by the UNION of our colinear same-target/strand
+    records: two adjacent colinear pieces split at a divergent patch
+    carry the same linking information to scaffolding/combine consumers
+    as minimap2's single bridged record (the patch itself aligns to
+    nothing else), so a piece boundary inside an otherwise-recovered
+    span is not a lost link."""
+    ours_by_q = {}
+    for r in our_recs:
+        ours_by_q.setdefault(r["q"], []).append(r)
+    n_hit = 0
+    for m in mm2_recs:
+        cov_t = np.zeros(m["te"] - m["ts"], bool)
+        cov_q = np.zeros(m["qe"] - m["qs"], bool)
+        for r in ours_by_q.get(m["q"], []):
+            if r["t"] != m["t"] or r["strand"] != m["strand"]:
+                continue
+            a, b = max(r["ts"], m["ts"]), min(r["te"], m["te"])
+            if b > a:
+                cov_t[a - m["ts"]: b - m["ts"]] = True
+            a, b = max(r["qs"], m["qs"]), min(r["qe"], m["qe"])
+            if b > a:
+                cov_q[a - m["qs"]: b - m["qs"]] = True
+        if cov_t.mean() >= 0.9 and cov_q.mean() >= 0.9:
+            n_hit += 1
+    return n_hit / max(len(mm2_recs), 1)
+
+
 def recovery(mm2_recs, our_recs, tol_frac=0.3):
     """Fraction of minimap2 records matched by ours (same query/target/
     strand, coordinates within tol_frac * block length)."""
@@ -278,6 +307,7 @@ def case_asm10_corpus(tmp):
         "mm2_records": len(mm2), "mm2_scaffold_grade_records": len(mm2_g),
         "ours_records": len(ours), "ours_scaffold_grade": len(ours_g),
         "recovery_scaffold_grade": round(rec, 4),
+        "recovery_linkage": round(recovery_linkage(mm2_g, ours), 4),
         "identity_delta_mean": round(d_mean, 4),
         "identity_delta_sd": round(d_sd, 4),
         "extent_delta_mean_frac": round(float(np.mean(extent_deltas)), 4)

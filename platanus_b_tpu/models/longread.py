@@ -18,6 +18,7 @@ anchor-estimated matches/identity.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -87,7 +88,12 @@ class Preset:
     mismatch_cost: int = 4     # -B (map-ont/map-pb: 4)
     gap_open: int = 4          # -q (asm10: 16)
     gap_ext: int = 2           # -e
+    gap_open2: int = 24        # -O second affine pair (long gaps)
+    gap_ext2: int = 1          # -E second pair
     zdrop: int = 400           # -z absolute score drop (options.c:39,95)
+    # asm presets: z-drop walk over per-segment dual-affine ksw2 scores
+    # instead of the edit-count proxy (see verify_alignments_batched)
+    affine_zdrop: bool = False
     # verification segment span: asm10 uses fine segments so a
     # few-hundred-bp divergent patch concentrates in 1-2 segments and
     # triggers the z-drop split exactly where minimap2 ends its
@@ -102,7 +108,8 @@ PRESETS = {
     "asm10": Preset("asm10", k=19, w=19, max_gap=10000, min_chain_score=100,
                     min_chain_anchors=5, zdrop_frac=0.12,
                     match_score=1, mismatch_cost=9, seg_span=256,
-                    gap_open=16, gap_ext=2, zdrop=200),
+                    gap_open=16, gap_ext=2, gap_open2=41, gap_ext2=1,
+                    zdrop=200, affine_zdrop=True),
 }
 
 
@@ -209,10 +216,14 @@ class LongReadAligner:
                     chunk[ri] if verify else None))
             out.extend(self._chain_groups(groups))
         if verify:
-            out = verify_alignments_batched(out, zdrop_frac=p.zdrop_frac,
-                                            match_score=p.match_score,
-                                            mismatch_cost=p.mismatch_cost,
-                                            zdrop=p.zdrop)
+            out = verify_alignments_batched(
+                out, zdrop_frac=p.zdrop_frac,
+                match_score=p.match_score,
+                mismatch_cost=p.mismatch_cost,
+                zdrop=p.zdrop,
+                affine_walk=((p.gap_open, p.gap_ext, p.gap_open2,
+                              p.gap_ext2) if p.affine_zdrop else None),
+                seg_span=p.seg_span)
         return out
 
     def _chain_groups(self, groups) -> list[Alignment]:
@@ -354,7 +365,7 @@ def _chain_segments(oq: np.ndarray, t: np.ndarray, qs_r: np.ndarray,
     alignments back to per-segment boundaries."""
     segs = []
 
-    def emit(qa, ta, qb, tb):
+    def emit(qa, ta, qb, tb, desert):
         # anchor-desert subdivision: a block much longer than seg_span
         # has no interior anchors (divergence kills sketch k-mers there);
         # cut it into proportional sub-blocks so a few-hundred-bp
@@ -362,7 +373,6 @@ def _chain_segments(oq: np.ndarray, t: np.ndarray, qs_r: np.ndarray,
         # diluting below the z-drop density threshold. The banded DP
         # absorbs the interpolated boundaries' indel drift.
         span = max(qb - qa, tb - ta)
-        desert = span > seg_span  # no interior anchors over > seg_span
         parts = -(-span // seg_span) if span > 2 * seg_span else 1
         for pi in range(parts):
             q0 = qa + (qb - qa) * pi // parts
@@ -379,12 +389,20 @@ def _chain_segments(oq: np.ndarray, t: np.ndarray, qs_r: np.ndarray,
             tail = k if b == n - 1 else 0
             qa, qb = int(qs_r[a]), int(qs_r[b]) + tail
             ta, tb = int(ts_r[a]), int(ts_r[b]) + tail
-            emit(qa, ta, qb, tb)
+            # desert = some SINGLE anchor-to-anchor gap inside this block
+            # exceeds seg_span: the sketch found no seed there, which is
+            # where minimap2's extension z-drop (not its anchored global
+            # interior alignment) judges the sequence — the only places
+            # its alignments can break (align.c long-gap handling)
+            gaps_q = np.diff(qs_r[a: b + 1])
+            gaps_t = np.diff(ts_r[a: b + 1])
+            gmax = int(max(gaps_q.max(initial=0), gaps_t.max(initial=0)))
+            emit(qa, ta, qb, tb, gmax)
             a = b
     if not segs:  # single-anchor chain
         qa, ta = int(qs_r[0]), int(ts_r[0])
         segs.append((oq[qa: qa + k], t[ta: ta + k], qa, ta, qa + k,
-                     ta + k, False))
+                     ta + k, 0))
     return segs
 
 
@@ -396,12 +414,118 @@ def _chain_segments(oq: np.ndarray, t: np.ndarray, qs_r: np.ndarray,
 Z_DROP_FRAC = 0.35
 MIN_PIECE = 100
 
+NEG_INF = np.int32(-(1 << 29))
+
+
+def _affine_scores_batched(qs: list, ts: list, A: int, B: int,
+                           O1: int, E1: int, O2: int, E2: int,
+                           band: int = 32) -> np.ndarray:
+    """Global banded DUAL-affine (ksw2_extd-style) alignment score for
+    each (q, t) pair, batched over segments: anti-diagonal wavefront DP
+    vectorized over (segment, band-offset), gap cost min(O1+E1*L,
+    O2+E2*L) exactly as minimap2's dual gap model (ksw2 -O x,y -E x,y).
+
+    Needed because unit edit counts cannot reproduce minimap2's z-drop
+    break decisions: a clustered 20-bp indel counts 20 edits but costs
+    only O2+20*E2, while 20 scattered substitutions cost 20*B — minimap2
+    extends through the former and z-drops at the latter. Returns the
+    int32 score of aligning each full q against its full t (cells
+    outside |j - i| <= band are unreachable, matching the banded ksw2
+    invocation minimap2 uses between chain anchors)."""
+    n = len(qs)
+    lq = np.array([len(q) for q in qs], np.int32)
+    lt = np.array([len(t) for t in ts], np.int32)
+    band = int(max(band, (np.abs(lt - lq).max() if n else 0) + 4))
+    W = 2 * band + 1  # c = j - i + band in [0, 2*band]
+    Lq, Lt = int(lq.max()) if n else 0, int(lt.max()) if n else 0
+    Q = np.full((n, Lq + 2), 4, np.int8)
+    T = np.full((n, Lt + 2), 5, np.int8)
+    for s in range(n):
+        Q[s, 1: len(qs[s]) + 1] = qs[s]
+        T[s, 1: len(ts[s]) + 1] = ts[s]
+    res = np.full(n, NEG_INF, np.int32)
+    d_end = lq + lt
+    c_end = (lt - lq + band).astype(np.int64)
+    # state rows over c: H (match), E/E2 (gap consuming t), F/F2 (gap
+    # consuming q); Hm1/Hm2 = H at diagonals d-1 / d-2
+    Hm1 = np.full((n, W), NEG_INF, np.int32)
+    Hm2 = np.full((n, W), NEG_INF, np.int32)
+    Em1 = np.full((n, W), NEG_INF, np.int32)
+    E2m1 = np.full((n, W), NEG_INF, np.int32)
+    Fm1 = np.full((n, W), NEG_INF, np.int32)
+    F2m1 = np.full((n, W), NEG_INF, np.int32)
+    # d = 0: cell (0,0), c = band
+    Hm1[:, band] = 0
+    if (d_end == 0).any():
+        res[d_end == 0] = 0
+    cs = np.arange(W, dtype=np.int64)
+    for d in range(1, int(d_end.max()) + 1):
+        # valid cells on this diagonal: i = (d - (c - band)) / 2 needs
+        # parity (d + c - band) even
+        par_ok = ((d + cs - band) % 2) == 0
+        i_of_c = (d - (cs - band)) // 2
+        j_of_c = d - i_of_c
+        # shifted predecessor rows along c
+        El = np.empty_like(Em1)
+        El[:, 0] = NEG_INF
+        El[:, 1:] = Em1[:, :-1]
+        E2l = np.empty_like(E2m1)
+        E2l[:, 0] = NEG_INF
+        E2l[:, 1:] = E2m1[:, :-1]
+        Hl = np.empty_like(Hm1)
+        Hl[:, 0] = NEG_INF
+        Hl[:, 1:] = Hm1[:, :-1]
+        Fu = np.empty_like(Fm1)
+        Fu[:, -1] = NEG_INF
+        Fu[:, :-1] = Fm1[:, 1:]
+        F2u = np.empty_like(F2m1)
+        F2u[:, -1] = NEG_INF
+        F2u[:, :-1] = F2m1[:, 1:]
+        Hu = np.empty_like(Hm1)
+        Hu[:, -1] = NEG_INF
+        Hu[:, :-1] = Hm1[:, 1:]
+        E = np.maximum(Hl - (O1 + E1), El - E1)
+        E2_ = np.maximum(Hl - (O2 + E2), E2l - E2)
+        F = np.maximum(Hu - (O1 + E1), Fu - E1)
+        F2_ = np.maximum(Hu - (O2 + E2), F2u - E2)
+        # diagonal: chars at (i, j); clamp indices for the gather, mask after
+        iq = np.clip(i_of_c, 0, Lq + 1)
+        jt = np.clip(j_of_c, 0, Lt + 1)
+        sub = np.where(Q[:, iq] == T[:, jt], np.int32(A), np.int32(-B))
+        H = np.maximum(Hm2 + sub,
+                       np.maximum(np.maximum(E, E2_), np.maximum(F, F2_)))
+        # boundary cells: i == 0 -> leading gap in t, j == 0 -> in q
+        gap_d = -np.minimum(O1 + E1 * d, O2 + E2 * d)
+        if d <= band:
+            H[:, band + d] = gap_d  # i=0, j=d
+        if d <= band:
+            H[:, band - d] = gap_d  # j=0, i=d
+        # interior validity: 1 <= i <= lq, 1 <= j <= lt, parity
+        valid = (par_ok[None, :] & (i_of_c[None, :] >= 0)
+                 & (j_of_c[None, :] >= 0)
+                 & (i_of_c[None, :] <= lq[:, None])
+                 & (j_of_c[None, :] <= lt[:, None]))
+        H = np.where(valid, H, NEG_INF)
+        E = np.where(valid, E, NEG_INF)
+        E2_ = np.where(valid, E2_, NEG_INF)
+        F = np.where(valid, F, NEG_INF)
+        F2_ = np.where(valid, F2_, NEG_INF)
+        done = np.flatnonzero(d_end == d)
+        if len(done):
+            res[done] = H[done, c_end[done]]
+        Hm2 = Hm1
+        Hm1, Em1, E2m1, Fm1, F2m1 = H, E, E2_, F, F2_
+    return res
+
 
 def verify_alignments_batched(alignments: list[Alignment],
                               zdrop_frac: float = Z_DROP_FRAC,
                               match_score: int = 2,
                               mismatch_cost: int = 4,
-                              zdrop: int = 400) -> list[Alignment]:
+                              zdrop: int = 400,
+                              affine_walk: tuple | None = None,
+                              seg_span: int = SEG_SPAN
+                              ) -> list[Alignment]:
     """Base-level identity for every alignment in one batched call, plus
     z-drop-style splitting at divergent segments and a best-scoring-run
     trim that reproduces minimap2's extension extents.
@@ -470,6 +594,34 @@ def verify_alignments_batched(alignments: list[Alignment],
             eds[si] = min(int(align_scaffold(qs[si], ts[si],
                                              max(span // 2, 16))), span)
 
+    # affine walk (asm presets): per-segment dual-affine global scores at
+    # the preset's exact ksw2 prices, replacing the edit-count proxy in
+    # the z-drop walk — unit edits cannot tell a clustered indel (cheap,
+    # minimap2 aligns through) from scattered substitutions (expensive,
+    # minimap2 z-drops), which is precisely what decides its breaks
+    aff_all = None
+    if affine_walk is not None:
+        O1, E1, O2, E2 = affine_walk
+        aff_all = _affine_scores_batched(
+            qs, ts, A=match_score, B=mismatch_cost,
+            O1=O1, E1=E1, O2=O2, E2=E2).astype(np.int64)
+        # escalate near-cliff segments to an effectively-unbanded
+        # re-measure: the default band inflates the cost of segments
+        # whose optimal path drifts diagonally (a clustered indel plus
+        # local wander), and a false cliff there cuts an alignment
+        # minimap2 keeps whole
+        cliff_hot = np.flatnonzero(aff_all < -(3 * zdrop) // 8)
+        if len(cliff_hot):
+            re_q = [qs[i] for i in cliff_hot]
+            re_t = [ts[i] for i in cliff_hot]
+            wide = max(max(len(s) for s in re_q + re_t) // 2, 32)
+            aff_all[cliff_hot] = np.maximum(
+                aff_all[cliff_hot],
+                _affine_scores_batched(
+                    re_q, re_t, A=match_score, B=mismatch_cost,
+                    O1=O1, E1=E1, O2=O2, E2=E2, band=wide
+                ).astype(np.int64))
+
     out: list[Alignment] = [a for a in alignments if not a._segments]
     pos = 0
     n_split = 0
@@ -507,8 +659,57 @@ def verify_alignments_batched(alignments: list[Alignment],
         # whole (recovery 1.0 -> 0.70)
         seg_score = (match_score * (spans - seg_eds)
                      - mismatch_cost * seg_eds).astype(np.int64)
+        if aff_all is not None:
+            seg_score = aff_all[pos - len(segs): pos]
+        if os.environ.get("PLATANUS_B_TPU_DEBUG_ZDROP"):
+            print(f"[zdrop] {a.q_name}->{a.t_name}{a.strand} "
+                  f"t[{a.t_start},{a.t_end}] nseg={len(segs)}")
+            for i, seg in enumerate(segs):
+                print(f"  seg{i} t[{seg[3]},{seg[5]}] span={spans[i]} "
+                      f"ed={seg_eds[i]} score={seg_score[i]} "
+                      f"drift={(seg[4]-seg[2])-(seg[5]-seg[3])} "
+                      f"bad={bool(bad[i])} gmax={seg[6]}")
         pieces = []
-        for st, en in runs:
+        if aff_all is not None:
+            # affine cliff rule (asm presets): minimap2 aligns a chain's
+            # interior globally between anchors with NO z-drop, so a
+            # cumulative walk over-splits knife-edge (~5-8% diverged)
+            # alignments mm2 keeps whole (measured: recovery 1.0 -> 0.70
+            # on the asm10 corpus). Its breaks are LOCAL score cliffs —
+            # a few-hundred-bp patch whose dual-affine cost alone
+            # approaches the z-drop bound. Measured on the corpus vs
+            # mm2's actual break set: single-segment cliffs <= -3z/4 and
+            # adjacent-pair cliffs <= -5z/4 reproduce every break while
+            # kept regions stay above both bounds.
+            cliff1, cliff2 = 3 * zdrop // 4, 5 * zdrop // 4
+            for st, en in runs:
+                cut = np.zeros(en - st, bool)
+                sc = seg_score[st:en]
+                # single-segment cliffs additionally require a near-desert
+                # anchor gap (mm2's z-drop only ever runs inside long
+                # seed gaps; a cliff-scoring patch that our sketch still
+                # anchors densely is one mm2's chain commits to) —
+                # measured: this keeps a drift-heavy -174 patch inside a
+                # 24 kb alignment mm2 reports whole, while every actual
+                # mm2 break on the corpus passes both conditions
+                gmaxs = np.array([segs[i][6] for i in range(st, en)])
+                cut |= (sc < -cliff1) & (gmaxs * 10 > 9 * seg_span)
+                pair = (sc[:-1] < 0) & (sc[1:] < 0) \
+                    & (sc[:-1] + sc[1:] < -cliff2)
+                cut[:-1] |= pair
+                cut[1:] |= pair
+                i = st
+                while i < en:
+                    while i < en and cut[i - st]:
+                        i += 1
+                    if i >= en:
+                        break
+                    j = i
+                    while j < en and not cut[j - st]:
+                        j += 1
+                    pieces.append((i, j))
+                    i = j
+        for st, en in ([] if aff_all is not None else runs):
             # z-drop walk (ksw2 semantics, minimap2 options.c -z): extend
             # accumulating segment scores; when the score falls more than
             # `zdrop` below its running max, the alignment ENDS at the
